@@ -1,0 +1,139 @@
+"""B7/B8: distribution-drift checks (KS + PSI) vs a baseline histogram.
+
+Contract: the reference's ``perform_qc`` hook runs arbitrary quality control
+per granule at load time (/root/reference/sat_val_framework/implement.py:
+104,117-118); the north rule pins QC down to KS/PSI drift vs reference
+distributions, computed with vectorized pandas/Arrow UDFs over per-partition
+histograms.
+
+Scale shape: the raw column is reduced to a (part_id, bin_id, count)
+histogram with ONE hash-agg (partial+final, JVM-side) — at 10^12 docs the
+Python boundary sees only n_parts × n_bins rows, never data rows. The KS/PSI
+math runs in a grouped-map ``applyInPandas`` keyed by part_id (one tiny
+pandas frame per partition, Arrow transfer both ways). This is the only
+Python-UDF code in the engine.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sat_val_framework_spark.verdicts import FAIL, PASS
+
+_EPS = 1e-6
+
+
+def histogram(
+    series: DataFrame,
+    edges: tuple[float, float, int],
+    part_col: str = "part_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """(part_id, value) -> (part_id, bin_id, obs_count) with fixed uniform
+    bins (lo0, width, n_bins) so bin edges match baseline_stats exactly
+    regardless of the data seen (SURVEY.md §7 hard part (c)). NULL values
+    are excluded (they are stats/schema territory)."""
+    lo0, width, n_bins = edges
+    v = F.col(value_col).cast("double")
+    bin_id = F.least(
+        F.greatest(F.floor((v - F.lit(lo0)) / F.lit(width)), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    return (
+        series.filter(v.isNotNull())
+        .groupBy(F.col(part_col).alias("part_id"), bin_id.alias("bin_id"))
+        .agg(F.count(F.lit(1)).alias("obs_count"))
+    )
+
+
+def baseline_edges(baseline: DataFrame, col_name: str) -> tuple[float, float, int]:
+    """Derive (lo0, width, n_bins) from the baseline_stats rows for one
+    column. Tiny dimension table — driver-side collect is the right call."""
+    rows = (
+        baseline.filter(F.col("col_name") == col_name)
+        .select("bin_id", "bin_lo", "bin_hi")
+        .orderBy("bin_id")
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"no baseline_stats rows for column '{col_name}'")
+    lo0 = rows[0]["bin_lo"]
+    width = rows[0]["bin_hi"] - rows[0]["bin_lo"]
+    return (lo0, width, len(rows))
+
+
+def _ks_psi(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map kernel: one partition's binned histogram vs reference."""
+    pdf = pdf.sort_values("bin_id")
+    n = pdf["obs_count"].sum()
+    p = pdf["obs_count"] / max(n, 1)
+    q = pdf["ref_frac"]
+    ks = float((p.cumsum() - q.cumsum()).abs().max())
+    pc = p.clip(lower=_EPS)
+    qc = q.clip(lower=_EPS)
+    import numpy as np
+
+    psi = float(((pc - qc) * np.log(pc / qc)).sum())
+    return pd.DataFrame(
+        {
+            "part_id": [int(pdf["part_id"].iloc[0])],
+            "rows_scanned": [int(n)],
+            "ks": [ks],
+            "psi": [psi],
+        }
+    )
+
+
+def drift_scores(
+    series: DataFrame,
+    baseline: DataFrame,
+    col_name: str,
+    part_col: str = "part_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """-> (part_id, rows_scanned, ks, psi), one row per partition."""
+    edges = baseline_edges(baseline, col_name)
+    obs = histogram(series, edges, part_col, value_col)
+    ref = baseline.filter(F.col("col_name") == col_name).select("bin_id", "ref_frac")
+    # Right join on the broadcast bin spine so empty bins appear with count 0
+    # (KS cumulative sums need the full spine).
+    parts = obs.select("part_id").distinct()
+    spine = parts.crossJoin(F.broadcast(ref))
+    full = spine.join(obs, ["part_id", "bin_id"], "left").select(
+        "part_id", "bin_id", F.coalesce("obs_count", F.lit(0)).alias("obs_count"), "ref_frac"
+    )
+    return full.groupBy("part_id").applyInPandas(
+        _ks_psi, schema="part_id int, rows_scanned long, ks double, psi double"
+    )
+
+
+def drift_check(
+    series: DataFrame,
+    baseline: DataFrame,
+    col_name: str,
+    ks_threshold: float = 0.15,
+    psi_threshold: float = 0.2,
+    part_col: str = "part_id",
+    value_col: str = "value",
+) -> tuple[DataFrame, DataFrame]:
+    """-> (verdicts: one row per (drift_ks:<col> | drift_psi:<col>, part),
+    scores). Both statistics come from the same single-pass histogram."""
+    scores = drift_scores(series, baseline, col_name, part_col, value_col)
+    empty_samples = F.array().cast("array<string>")
+
+    def verdict(stat: str, threshold: float) -> DataFrame:
+        return scores.select(
+            F.lit(f"drift_{stat}:{col_name}").alias("constraint_id"),
+            F.col("part_id"),
+            F.when(F.col(stat) > threshold, F.lit(FAIL)).otherwise(F.lit(PASS)).alias("status"),
+            F.col("rows_scanned"),
+            F.when(F.col(stat) > threshold, F.lit(1)).otherwise(F.lit(0)).cast("long").alias(
+                "violation_count"
+            ),
+            empty_samples.alias("sample_violations"),
+        )
+
+    verdicts = verdict("ks", ks_threshold).unionByName(verdict("psi", psi_threshold))
+    return verdicts, scores

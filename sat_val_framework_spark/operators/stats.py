@@ -1,0 +1,129 @@
+"""B2 schema assertion + B3 fused per-column stats.
+
+Realizes the reference's eager construct-time QC: ``RawData.__init__`` runs
+``assert_on_creation`` then ``perform_qc`` before the object exists
+(/root/reference/sat_val_framework/implement.py:100-118). Spark-native form:
+the scan, the schema assert, and ALL per-column stats run as ONE hash-agg
+job per table (partial+final aggregation, whole-stage codegen) — never one
+job per column. Per-partition verdict granularity comes from
+``groupBy(part_col)``, mirroring per-granule QC.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sat_val_framework_spark.verdicts import FAIL, PASS, sample_col
+
+
+@dataclass(frozen=True)
+class StatSpec:
+    """Bounds/null-rate spec for one column (B3)."""
+
+    column: str
+    max_null_rate: float = 1.0  # 1.0 = nulls unrestricted
+    lo: float | None = None
+    hi: float | None = None
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99)
+
+
+def schema_assert(
+    df: DataFrame,
+    expected: T.StructType,
+    part_col: str = "part_id",
+    not_null: tuple[str, ...] = (),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Structural schema equality (driver-side, free) + NOT NULL invariants
+    (executor-side counts). Contract: implement.py:106-107 / :129-136."""
+    schema_ok = [f.name for f in df.schema.fields] == [f.name for f in expected.fields] and all(
+        df.schema[f.name].dataType == expected[f.name].dataType for f in expected.fields
+    )
+    null_viol = None
+    for c in not_null:
+        cond = F.col(c).isNull()
+        null_viol = cond if null_viol is None else (null_viol | cond)
+    if null_viol is None:
+        null_viol = F.lit(False)
+
+    out = df.groupBy(F.col(part_col).alias("part_id")).agg(
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum(null_viol.cast("long")).alias("null_viols"),
+        sample_col(F.col(id_col), null_viol).alias("sample_violations"),
+    )
+    viol = F.col("null_viols") + F.lit(0 if schema_ok else 1)
+    return out.select(
+        F.lit("schema_assert").alias("constraint_id"),
+        F.col("part_id"),
+        F.when(viol > 0, F.lit(FAIL)).otherwise(F.lit(PASS)).alias("status"),
+        F.col("rows_scanned"),
+        viol.cast("long").alias("violation_count"),
+        F.col("sample_violations"),
+    )
+
+
+def column_stats(
+    df: DataFrame,
+    specs: list[StatSpec],
+    part_col: str = "part_id",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """One fused agg over all specs -> (verdicts, metrics).
+
+    metrics has one row per (part_id, column) with count/null_rate/min/max/
+    approx-quantiles; verdicts has one row per (constraint, part_id).
+    A single groupBy means a single scan + single shuffle regardless of how
+    many columns are checked — the multi-constraint scan-sharing SURVEY.md §4
+    calls out as custom work.
+    """
+    aggs = [F.count(F.lit(1)).alias("rows_scanned")]
+    for s in specs:
+        c = F.col(s.column)
+        oob = F.lit(False)
+        if s.lo is not None:
+            oob = oob | (c < s.lo)
+        if s.hi is not None:
+            oob = oob | (c > s.hi)
+        aggs += [
+            F.sum(c.isNull().cast("long")).alias(f"{s.column}__nulls"),
+            F.min(c).cast("double").alias(f"{s.column}__min"),
+            F.max(c).cast("double").alias(f"{s.column}__max"),
+            F.avg(c).alias(f"{s.column}__avg"),
+            F.percentile_approx(c, list(s.quantiles)).alias(f"{s.column}__q"),
+            F.sum(oob.cast("long")).alias(f"{s.column}__oob"),
+            sample_col(F.col(id_col), oob | c.isNull()).alias(f"{s.column}__samples"),
+        ]
+    wide = df.groupBy(F.col(part_col).alias("part_id")).agg(*aggs)
+
+    metrics = None
+    verdicts = None
+    for s in specs:
+        p = f"{s.column}__"
+        null_rate = F.col(f"{p}nulls") / F.col("rows_scanned")
+        viol = F.col(f"{p}oob") + F.when(null_rate > s.max_null_rate, F.col(f"{p}nulls")).otherwise(F.lit(0))
+        m = wide.select(
+            F.col("part_id"),
+            F.lit(s.column).alias("col_name"),
+            F.col("rows_scanned"),
+            F.col(f"{p}nulls").alias("null_count"),
+            null_rate.alias("null_rate"),
+            F.col(f"{p}min").alias("min_val"),
+            F.col(f"{p}max").alias("max_val"),
+            F.col(f"{p}avg").alias("avg_val"),
+            F.col(f"{p}q").alias("approx_quantiles"),
+        )
+        v = wide.select(
+            F.lit(f"stats:{s.column}").alias("constraint_id"),
+            F.col("part_id"),
+            F.when(viol > 0, F.lit(FAIL)).otherwise(F.lit(PASS)).alias("status"),
+            F.col("rows_scanned"),
+            viol.cast("long").alias("violation_count"),
+            F.col(f"{p}samples").alias("sample_violations"),
+        )
+        metrics = m if metrics is None else metrics.unionByName(m)
+        verdicts = v if verdicts is None else verdicts.unionByName(v)
+    return verdicts, metrics

@@ -1,0 +1,76 @@
+"""B4: key uniqueness via salted two-level hash-aggregate.
+
+Contract: the reference asserts invariants at construction time
+(/root/reference/sat_val_framework/implement.py:103,106-107); the north rule
+names doc_id uniqueness with explicit skew handling.
+
+Plan shape (scale rationale): a single ``groupBy(key).count()`` hash-
+partitions every occurrence of a key onto one reducer — a pathologically hot
+key (billions of copies of one doc_id at 10^12-doc scale) overwhelms it.
+The two-level form first combines within each input split
+(``spark_partition_id()`` as the salt, so the salt is free — no extra
+column shuffle dependency and results stay deterministic because counts are
+additive), then re-aggregates the per-salt partial counts: the hot key
+reaches the final reducer as at most #splits rows, not #occurrences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sat_val_framework_spark.verdicts import FAIL, PASS, sample_col
+
+
+def duplicate_keys(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Keys occurring more than once, with total counts. Salted two-level agg."""
+    partial = df.groupBy(F.col(key), F.spark_partition_id().alias("_salt")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return (
+        partial.groupBy(key)
+        .agg(F.sum("_c").alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def uniqueness_check(
+    df: DataFrame,
+    key: str = "doc_id",
+    part_col: str = "part_id",
+) -> tuple[DataFrame, DataFrame]:
+    """-> (verdicts per partition, violation rows).
+
+    A row is a violation when its key occurs >1 times anywhere in the table
+    (duplicates span partitions), attributed to the partition holding it.
+    The join back is a shuffle join on the key; at scale the duplicate set
+    is tiny relative to the table so AQE will usually turn it into a
+    broadcast join at runtime.
+    """
+    dups = duplicate_keys(df, key)
+    viol_rows = df.join(dups, key, "inner").select(
+        F.col(part_col).alias("part_id"), F.col(key).alias("violation_key"), F.col("dup_count")
+    )
+    per_part = df.groupBy(F.col(part_col).alias("part_id")).agg(
+        F.count(F.lit(1)).alias("rows_scanned")
+    )
+    viol_agg = viol_rows.groupBy("part_id").agg(
+        F.count(F.lit(1)).alias("violation_count"),
+        sample_col(F.col("violation_key"), F.lit(True)).alias("sample_violations"),
+    )
+    verdicts = (
+        per_part.join(viol_agg, "part_id", "left")
+        .select(
+            F.lit(f"unique:{key}").alias("constraint_id"),
+            F.col("part_id"),
+            F.when(F.coalesce(F.col("violation_count"), F.lit(0)) > 0, F.lit(FAIL))
+            .otherwise(F.lit(PASS))
+            .alias("status"),
+            F.col("rows_scanned"),
+            F.coalesce(F.col("violation_count"), F.lit(0)).cast("long").alias("violation_count"),
+            F.coalesce(F.col("sample_violations"), F.array().cast("array<string>")).alias(
+                "sample_violations"
+            ),
+        )
+    )
+    return verdicts, viol_rows

@@ -1,0 +1,222 @@
+"""Suite runner: orchestrates checks, stamps lineage, checkpoints, resumes.
+
+This is the engine equivalent of the reference's E2 hot path
+(``CollocationEventList.load_with_joint_parameters`` → per-event load → QC →
+verdicts; /root/reference/sat_val_framework/usable.py:43-48,
+implement.py:177-190): one Spark job per check over all pending partitions,
+with QC fused into the scan. Resume skips completed (constraint, partition)
+pairs via left-anti join then pushes the pending set down as a partition
+filter, so a resumed run re-scans only unfinished partitions.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sat_val_framework_spark import checkpoint as ckpt
+from sat_val_framework_spark import profile
+from sat_val_framework_spark.fixtures import DOCUMENTS_SCHEMA
+from sat_val_framework_spark.operators import (
+    column_stats,
+    drift_check,
+    referential_check,
+    schema_assert,
+    span_seq_check,
+    uniqueness_check,
+)
+from sat_val_framework_spark.operators.stats import StatSpec
+from sat_val_framework_spark.suite import Check, CheckSuite
+from sat_val_framework_spark.verdicts import finalize_verdicts
+
+DEFAULT_SUITE = CheckSuite(
+    checks=[
+        Check("schema_assert", params={"not_null": ["spans"]}),
+        Check("stats", "n_spans", {"max_null_rate": 0.0, "lo": 1, "hi": 64}),
+        Check("unique", "doc_id"),
+        Check("ref", "spans.media_ref", {"dim_table_alias": "media_catalog", "strategy": "broadcast"}),
+        Check("drift_ks", "n_spans", {"threshold": 0.15}),
+        Check("drift_psi", "n_spans", {"threshold": 0.2}),
+        Check("drift_ks", "text_len", {"threshold": 0.15}),
+        Check("drift_psi", "text_len", {"threshold": 0.2}),
+    ]
+)
+
+_SERIES = {"n_spans": profile.n_spans_series, "text_len": profile.text_len_series}
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    verdicts: DataFrame
+    skipped: list[str] = field(default_factory=list)  # "<constraint>:<part>" resumed pairs
+
+
+def _series_for(docs: DataFrame, column: str, part_col: str) -> DataFrame:
+    if column not in _SERIES:
+        raise ValueError(f"no series derivation for drift column '{column}'")
+    return _SERIES[column](docs, part_col)
+
+
+def run_suite(
+    spark: SparkSession,
+    docs: DataFrame,
+    suite: CheckSuite = DEFAULT_SUITE,
+    catalog: DataFrame | None = None,
+    baseline: DataFrame | None = None,
+    expected_docs: DataFrame | None = None,
+    checkpoint_path: str | None = None,
+    run_id: str | None = None,
+    snapshot_id: str = "",
+    part_col: str = "part_id",
+) -> RunResult:
+    """Run every check in the suite, checkpointing per-check verdicts.
+
+    Resumable: pairs already in the checkpoint for ``run_id`` are skipped and
+    the remaining partitions are pushed down as a filter (partition pruning).
+    """
+    suite.validate_or_raise(docs, part_col)
+    run_id = run_id or uuid.uuid4().hex[:12]
+
+    all_parts = docs.select(F.col(part_col).alias("part_id")).distinct()
+    existing = ckpt.read_checkpoint(spark, checkpoint_path) if checkpoint_path else None
+    all_part_ids: set[int] | None = None
+    done_pairs: set[tuple[str, int]] = set()
+    if existing is not None:
+        # worklist and completed pairs are metadata-sized (constraints ×
+        # partitions), so one driver-side collect replaces a per-check job
+        all_part_ids = {r["part_id"] for r in all_parts.collect()}
+        done_pairs = {
+            (r["constraint_id"], r["part_id"])
+            for r in existing.filter(F.col("run_id") == run_id)
+            .select("constraint_id", "part_id")
+            .distinct()
+            .collect()
+        }
+
+    collected: list[DataFrame] = []
+    skipped: list[str] = []
+
+    # drift checks on the same column share one histogram+score pass
+    drift_cols: dict[str, dict[str, float]] = {}
+    for c in suite.checks:
+        if c.kind in ("drift_ks", "drift_psi"):
+            drift_cols.setdefault(c.column, {})[c.kind] = float(c.params["threshold"])
+
+    def pending_filter(constraint_id: str | list[str], df: DataFrame) -> tuple[DataFrame, bool]:
+        """Restrict to partitions not yet checkpointed for this constraint
+        (left-anti-join resume, here as a pushed-down isin filter so the
+        scan prunes completed partitions). A list means a shared pass: a
+        partition is skippable only if EVERY listed constraint is done."""
+        if existing is None or all_part_ids is None:
+            return df, True
+        cids = [constraint_id] if isinstance(constraint_id, str) else list(constraint_id)
+        done = set(all_part_ids)
+        for cid in cids:
+            done &= {p for (c, p) in done_pairs if c == cid}
+        ids = sorted(all_part_ids - done)
+        if len(ids) == len(all_part_ids):
+            return df, True
+        if not ids:
+            return df, False
+        skipped.extend(f"{cid}:{p}" for cid in cids for p in sorted(done))
+        return df.filter(F.col(part_col).isin(ids)), True
+
+    def emit(constraint_id: str, check_out: DataFrame, params_json: str, t0: float) -> None:
+        v = finalize_verdicts(
+            check_out, run_id, params_json, snapshot_id, latency_ms=(time.time() - t0) * 1000.0
+        )
+        if checkpoint_path:
+            ckpt.append_verdicts(v, checkpoint_path)
+        collected.append(v)
+
+    seen_drift: set[str] = set()
+    for c in suite.checks:
+        t0 = time.time()
+        if c.kind == "schema_assert":
+            scoped, todo = pending_filter(c.constraint_id, docs)
+            if not todo:
+                skipped.append(c.constraint_id)
+                continue
+            out = schema_assert(
+                scoped, DOCUMENTS_SCHEMA, part_col, tuple(c.params.get("not_null", ()))
+            )
+            emit(c.constraint_id, out, c.params_json, t0)
+        elif c.kind == "stats":
+            scoped, todo = pending_filter(c.constraint_id, profile.with_n_spans(docs))
+            if not todo:
+                skipped.append(c.constraint_id)
+                continue
+            spec = StatSpec(
+                c.column,
+                max_null_rate=float(c.params.get("max_null_rate", 1.0)),
+                lo=c.params.get("lo"),
+                hi=c.params.get("hi"),
+            )
+            out, _metrics = column_stats(scoped, [spec], part_col)
+            emit(c.constraint_id, out, c.params_json, t0)
+        elif c.kind == "unique":
+            # uniqueness is global: a resumed run must still scan all rows to
+            # find cross-partition duplicates, then keep only pending verdicts
+            out, _viol = uniqueness_check(docs, c.column, part_col)
+            scoped, todo = pending_filter(c.constraint_id, out.withColumnRenamed("part_id", part_col))
+            if not todo:
+                skipped.append(c.constraint_id)
+                continue
+            emit(c.constraint_id, scoped.withColumnRenamed(part_col, "part_id"), c.params_json, t0)
+        elif c.kind == "ref":
+            if catalog is None:
+                raise ValueError("ref check requires catalog=")
+            scoped, todo = pending_filter(c.constraint_id, docs)
+            if not todo:
+                skipped.append(c.constraint_id)
+                continue
+            out, _viol = referential_check(
+                scoped, catalog, part_col, strategy=c.params.get("strategy", "broadcast")
+            )
+            emit(c.constraint_id, out, c.params_json, t0)
+        elif c.kind in ("drift_ks", "drift_psi"):
+            if baseline is None:
+                raise ValueError("drift checks require baseline=")
+            if c.column in seen_drift:
+                continue  # sibling stat already emitted by the shared pass
+            seen_drift.add(c.column)
+            thresholds = drift_cols[c.column]
+            series = _series_for(docs, c.column, part_col)
+            sibling_ids = [f"{k}:{c.column}" for k in thresholds]
+            scoped, todo = pending_filter(sibling_ids, series)
+            if not todo:
+                skipped.append(c.constraint_id)
+                continue
+            out, _scores = drift_check(
+                scoped,
+                baseline,
+                c.column,
+                ks_threshold=thresholds.get("drift_ks", 0.15),
+                psi_threshold=thresholds.get("drift_psi", 0.2),
+                part_col=part_col,
+            )
+            emit(f"drift:{c.column}", out, c.params_json, t0)
+        elif c.kind == "span_seq":
+            if expected_docs is None:
+                raise ValueError("span_seq check requires expected_docs=")
+            scoped, todo = pending_filter(c.constraint_id, docs)
+            if not todo:
+                skipped.append(c.constraint_id)
+                continue
+            out, _mm = span_seq_check(scoped, expected_docs, part_col)
+            emit(c.constraint_id, out, c.params_json, t0)
+        else:  # pragma: no cover - suite.validate blocks unknown kinds
+            raise ValueError(f"unhandled check kind {c.kind}")
+
+    if collected:
+        verdicts = collected[0]
+        for v in collected[1:]:
+            verdicts = verdicts.unionByName(v)
+    else:
+        verdicts = spark.createDataFrame([], ckpt.VERDICT_SCHEMA)
+    return RunResult(run_id=run_id, verdicts=verdicts, skipped=skipped)

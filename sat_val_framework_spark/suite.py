@@ -1,0 +1,117 @@
+"""Typed, schema-validated constraint-suite config (SURVEY.md B13).
+
+Realizes the reference's ``JointParameters`` contract: per-source
+parameterization with type-checked pairing, validated eagerly before any
+work runs (/root/reference/sat_val_framework/implement.py:147-162), and its
+errors-as-values convention (implement.py:23-56): ``CheckSuite.validate``
+*returns* config errors instead of raising.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+KINDS = frozenset(
+    {
+        "schema_assert",  # B2
+        "stats",          # B3 per-column stats + bounds
+        "unique",         # B4 salted uniqueness
+        "ref",            # B5/B6 referential integrity
+        "drift_ks",       # B7
+        "drift_psi",      # B8
+        "span_seq",       # B9 canonical span-sequence equality
+    }
+)
+
+
+class SuiteConfigError(ValueError):
+    """Config error value. Returned (not raised) by CheckSuite.validate."""
+
+
+@dataclass(frozen=True)
+class Check:
+    kind: str
+    column: str | None = None  # checked column ('' for table-level checks)
+    params: dict = field(default_factory=dict)
+
+    @property
+    def constraint_id(self) -> str:
+        if self.kind in ("schema_assert", "span_seq"):
+            return self.kind
+        return f"{self.kind}:{self.column}"
+
+    @property
+    def params_json(self) -> str:
+        return json.dumps(self.params, sort_keys=True)
+
+
+def _field_type(schema: T.StructType, dotted: str) -> T.DataType | None:
+    """Resolve 'spans.media_ref'-style paths through arrays of structs."""
+    cur: T.DataType = schema
+    for part in dotted.split("."):
+        if isinstance(cur, T.ArrayType):
+            cur = cur.elementType
+        if not isinstance(cur, T.StructType) or part not in cur.fieldNames():
+            return None
+        cur = cur[part].dataType
+    return cur
+
+
+# columns derivable from the documents shape by profile.py rather than
+# present in the schema (n_spans = size(spans); text_len = per-text-span len)
+DERIVED_COLUMNS = frozenset({"n_spans", "text_len"})
+
+
+@dataclass
+class CheckSuite:
+    checks: list[Check]
+
+    def validate(
+        self,
+        df: DataFrame,
+        part_col: str = "part_id",
+        derived: frozenset[str] = DERIVED_COLUMNS,
+    ) -> list[SuiteConfigError]:
+        """Driver-side, pre-job validation of every check against the actual
+        schema. Returns error values — empty list means the suite is sound."""
+        errors: list[SuiteConfigError] = []
+        schema = df.schema
+        if part_col not in schema.fieldNames():
+            errors.append(SuiteConfigError(f"partition column '{part_col}' missing from schema"))
+        for c in self.checks:
+            if c.kind not in KINDS:
+                errors.append(SuiteConfigError(f"unknown check kind '{c.kind}'"))
+                continue
+            if c.kind in ("stats", "unique", "drift_ks", "drift_psi") and c.column:
+                if c.column not in derived and _field_type(schema, c.column) is None:
+                    errors.append(
+                        SuiteConfigError(f"{c.constraint_id}: column '{c.column}' not in schema")
+                    )
+            if c.kind == "ref":
+                if not c.params.get("dim_table_alias"):
+                    errors.append(SuiteConfigError(f"{c.constraint_id}: params.dim_table_alias required"))
+                if c.column and _field_type(schema, c.column) is None:
+                    errors.append(
+                        SuiteConfigError(f"{c.constraint_id}: column '{c.column}' not in schema")
+                    )
+            if c.kind in ("drift_ks", "drift_psi"):
+                thr = c.params.get("threshold")
+                if thr is None or not isinstance(thr, (int, float)) or thr <= 0:
+                    errors.append(
+                        SuiteConfigError(f"{c.constraint_id}: positive params.threshold required")
+                    )
+        seen: set[str] = set()
+        for c in self.checks:
+            if c.constraint_id in seen:
+                errors.append(SuiteConfigError(f"duplicate constraint_id '{c.constraint_id}'"))
+            seen.add(c.constraint_id)
+        return errors
+
+    def validate_or_raise(self, df: DataFrame, part_col: str = "part_id") -> None:
+        errs = self.validate(df, part_col)
+        if errs:
+            raise SuiteConfigError("; ".join(str(e) for e in errs))
