@@ -65,7 +65,14 @@ def span_seq_check(
     """
     a = canonicalize_spans(actual, part_col).alias("a")
     e = canonicalize_spans(expected, part_col).alias("e")
-    joined = a.join(e, F.col("a.doc_id") == F.col("e.doc_id"), "full_outer")
+    # (doc_id, part_id) is the document identity: duplicated doc_ids (a
+    # uniqueness violation, caught by B4) must not fan out this join
+    joined = a.join(
+        e,
+        (F.col("a.doc_id") == F.col("e.doc_id"))
+        & (F.col(f"a.{part_col}") == F.col(f"e.{part_col}")),
+        "full_outer",
+    )
     mismatches = joined.filter(~F.col("a.canon").eqNullSafe(F.col("e.canon")) |
                                F.col("a.doc_id").isNull() | F.col("e.doc_id").isNull()).select(
         F.coalesce(F.col("a.doc_id"), F.col("e.doc_id")).alias("doc_id"),

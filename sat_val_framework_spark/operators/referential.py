@@ -53,6 +53,7 @@ def referential_check(
     part_col: str = "part_id",
     strategy: str = "broadcast",
     media_spans: DataFrame | None = None,
+    constraint_id: str = "ref:media_ref",
 ) -> tuple[DataFrame, DataFrame]:
     """-> (verdicts per partition, orphan violation rows)."""
     spans = media_spans if media_spans is not None else exploded_media_spans(docs, part_col)
@@ -67,7 +68,7 @@ def referential_check(
     verdicts = (
         per_part.join(viol_agg, "part_id", "left")
         .select(
-            F.lit("ref:media_ref").alias("constraint_id"),
+            F.lit(constraint_id).alias("constraint_id"),
             F.col("part_id"),
             F.when(F.coalesce(F.col("violation_count"), F.lit(0)) > 0, F.lit(FAIL))
             .otherwise(F.lit(PASS))

@@ -176,7 +176,11 @@ def run_suite(
                 skipped.append(c.constraint_id)
                 continue
             out, _viol = referential_check(
-                scoped, catalog, part_col, strategy=c.params.get("strategy", "broadcast")
+                scoped,
+                catalog,
+                part_col,
+                strategy=c.params.get("strategy", "broadcast"),
+                constraint_id=c.constraint_id,
             )
             emit(c.constraint_id, out, c.params_json, t0)
         elif c.kind in ("drift_ks", "drift_psi"):

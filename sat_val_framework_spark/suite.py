@@ -40,9 +40,10 @@ class Check:
 
     @property
     def constraint_id(self) -> str:
-        if self.kind in ("schema_assert", "span_seq"):
+        if self.kind in ("schema_assert", "span_seq") or self.column is None:
             return self.kind
-        return f"{self.kind}:{self.column}"
+        # leaf name: 'spans.media_ref' -> 'ref:media_ref' (FIXTURES.md §4 ids)
+        return f"{self.kind}:{self.column.split('.')[-1]}"
 
     @property
     def params_json(self) -> str:

@@ -1,0 +1,77 @@
+"""B12: checkpointed verdicts + resume via left-anti join
+(reference contract usable.py:51-62; no-clobber intent usable.py:52-55)."""
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from sat_val_framework_spark import checkpoint as ckpt
+from sat_val_framework_spark.runner import DEFAULT_SUITE, run_suite
+from sat_val_framework_spark.suite import Check, CheckSuite
+
+SMALL_SUITE = CheckSuite(
+    [
+        Check("schema_assert", params={"not_null": ["spans"]}),
+        Check("stats", "n_spans", {"max_null_rate": 0.0, "lo": 1, "hi": 64}),
+        Check("unique", "doc_id"),
+    ]
+)
+
+
+def _verdict_key(df):
+    return {
+        (r["constraint_id"], r["part_id"]): (r["status"], r["violation_count"])
+        for r in df.collect()
+    }
+
+
+def test_full_run_then_resume_is_noop(spark, docs, catalog, baseline, tmp_path):
+    """Full DEFAULT_SUITE (incl. ref + drift) so emitted constraint_ids are
+    checked against the suite's resume keys — a mismatch re-runs forever."""
+    path = str(tmp_path / "ckpt")
+    kw = dict(catalog=catalog, baseline=baseline, checkpoint_path=path, run_id="run-a")
+    r1 = run_suite(spark, docs, DEFAULT_SUITE, **kw)
+    first = _verdict_key(r1.verdicts)
+    r2 = run_suite(spark, docs, DEFAULT_SUITE, **kw)
+    # every (constraint, part) already done -> everything skipped
+    assert r2.verdicts.count() == 0
+    final = _verdict_key(ckpt.read_checkpoint(spark, path))
+    assert final == first
+
+
+def test_resume_recomputes_only_missing_partitions(spark, docs, tmp_path):
+    path = str(tmp_path / "ckpt")
+    r1 = run_suite(spark, docs, SMALL_SUITE, checkpoint_path=path, run_id="run-b")
+    full = _verdict_key(ckpt.read_checkpoint(spark, path))
+
+    # simulate a killed run: drop the verdicts for half the partitions
+    # (materialize survivors first — we are about to delete their files)
+    kept_rows = ckpt.read_checkpoint(spark, path).filter(F.col("part_id") < 8).collect()
+    shutil.rmtree(path)
+    spark.createDataFrame(kept_rows, ckpt.VERDICT_SCHEMA).write.parquet(path)
+
+    r2 = run_suite(spark, docs, SMALL_SUITE, checkpoint_path=path, run_id="run-b")
+    recomputed = _verdict_key(r2.verdicts)
+    # only partitions >= 8 recomputed (unique still scans all rows but only
+    # emits pending verdicts)
+    assert recomputed and all(p >= 8 for (_, p) in recomputed)
+    final = _verdict_key(ckpt.read_checkpoint(spark, path))
+    assert final == full
+
+
+def test_idempotent_reads_dedupe_retried_appends(spark, docs, tmp_path):
+    path = str(tmp_path / "ckpt")
+    r1 = run_suite(spark, docs, SMALL_SUITE, checkpoint_path=path, run_id="run-c")
+    n = len(_verdict_key(r1.verdicts))
+    # a retried task double-appends the same verdicts
+    reread = spark.read.parquet(path)
+    reread.write.mode("append").parquet(path)
+    deduped = ckpt.read_checkpoint(spark, path)
+    assert deduped.count() == n
+
+
+def test_pending_parts_left_anti(spark):
+    worklist = spark.range(10).select(F.col("id").cast("int").alias("part_id"))
+    done = spark.range(4).select(F.col("id").cast("int").alias("part_id"))
+    pending = {r["part_id"] for r in ckpt.pending_parts(worklist, done).collect()}
+    assert pending == set(range(4, 10))

@@ -1,0 +1,47 @@
+"""B13: suite-config validation returns errors as values
+(reference contract implement.py:147-162, errors-as-values implement.py:23-56)."""
+
+import pytest
+
+from sat_val_framework_spark.suite import Check, CheckSuite, SuiteConfigError
+
+
+def test_valid_suite_returns_no_errors(docs):
+    suite = CheckSuite([Check("unique", "doc_id"), Check("stats", "n_spans", {"max_null_rate": 0.0})])
+    assert suite.validate(docs) == []
+
+
+def test_unknown_kind_is_error_value(docs):
+    errs = CheckSuite([Check("nope", "doc_id")]).validate(docs)
+    assert len(errs) == 1 and isinstance(errs[0], SuiteConfigError)
+    assert "unknown check kind" in str(errs[0])
+
+
+def test_missing_column_is_error_value(docs):
+    errs = CheckSuite([Check("stats", "no_such_col")]).validate(docs)
+    assert any("not in schema" in str(e) for e in errs)
+
+
+def test_nested_column_resolves(docs):
+    errs = CheckSuite([Check("ref", "spans.media_ref", {"dim_table_alias": "cat"})]).validate(docs)
+    assert errs == []
+
+
+def test_drift_requires_positive_threshold(docs):
+    errs = CheckSuite([Check("drift_ks", "n_spans", {"threshold": -1})]).validate(docs)
+    assert any("threshold" in str(e) for e in errs)
+
+
+def test_duplicate_constraint_ids_flagged(docs):
+    errs = CheckSuite([Check("unique", "doc_id"), Check("unique", "doc_id")]).validate(docs)
+    assert any("duplicate constraint_id" in str(e) for e in errs)
+
+
+def test_missing_part_col_flagged(docs):
+    errs = CheckSuite([Check("unique", "doc_id")]).validate(docs, part_col="nope")
+    assert any("partition column" in str(e) for e in errs)
+
+
+def test_validate_or_raise_raises(docs):
+    with pytest.raises(SuiteConfigError):
+        CheckSuite([Check("nope")]).validate_or_raise(docs)

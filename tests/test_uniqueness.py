@@ -1,0 +1,39 @@
+"""B4: salted-aggregate uniqueness — exact duplicate verdicts, including
+duplicates whose occurrences span partitions (and salt groups)."""
+
+from pyspark.sql import functions as F
+
+from sat_val_framework_spark.operators.uniqueness import duplicate_keys, uniqueness_check
+
+
+def test_duplicate_keys_exact(docs, oracle):
+    dups = {r["doc_id"] for r in duplicate_keys(docs, "doc_id").collect()}
+    assert dups == oracle["dup_ids"]
+
+
+def test_verdicts_attribute_rows_per_partition(docs, oracle):
+    verdicts, viol = uniqueness_check(docs, "doc_id")
+    v = verdicts.toPandas()
+    for r in v.itertuples():
+        expected = oracle["dup_rows_per_part"].get(r.part_id, 0)
+        assert r.violation_count == expected, r
+        assert r.status == ("FAIL" if expected else "PASS")
+    assert viol.count() == sum(oracle["dup_rows_per_part"].values())
+
+
+def test_cross_partition_duplicate_caught(spark):
+    # two rows with the same key land in different spark partitions (and so
+    # different salts): the two-level agg must still merge their counts
+    df = spark.createDataFrame(
+        [("k1", 0), ("k1", 1), ("k2", 0)], ["doc_id", "part_id"]
+    ).repartition(4, "part_id")
+    dups = duplicate_keys(df, "doc_id").collect()
+    assert [(r["doc_id"], r["dup_count"]) for r in dups] == [("k1", 2)]
+
+
+def test_sample_violations_deterministic_sorted(docs):
+    verdicts, _ = uniqueness_check(docs, "doc_id")
+    for r in verdicts.filter(F.col("violation_count") > 0).collect():
+        s = r["sample_violations"]
+        assert s == sorted(s)
+        assert len(s) <= 10
