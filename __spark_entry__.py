@@ -1,38 +1,702 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship validation query on sf0.001.
+``queries()`` exposes every implemented operator shape from SURVEY.md §2
+plus the training-data-pipeline operators (dedup / similarity / text /
+multimodal); ``oracle_sql()`` gives the DuckDB twin for each
+SQL-expressible one. Column aliases match pairwise exactly; every double
+is rounded to 6dp on BOTH sides so order-insensitive value hashes agree.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sat_val_framework_spark.functions import dedup, multimodal, similarity, text
+from sat_val_framework_spark.operators.uniqueness import duplicate_keys
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r6(c) -> F.Column:
+    return F.round(c, 6)
+
+
+# ---------------------------------------------------------------------------
+# validation-engine query shapes (B1-B12 over the driver's flat tables)
+# ---------------------------------------------------------------------------
+
+
+def q_stats_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: fused per-group column stats (count / nulls / min / max / avg /
+    exact median) in ONE hash-agg pass."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.col("source").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("text").isNull().cast("long")).alias("n_null_text"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            _r6(F.avg("n_chars")).alias("avg_chars"),
+            _r6(F.percentile(F.col("n_chars"), F.lit(0.5))).alias("median_chars"),
+        )
+    )
+
+
+def q_null_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2/B3: per-group null-rate profile (schema-assert style)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.col("event_type").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+            F.sum(F.col("props").isNull().cast("long")).alias("n_null_props"),
+            _r6(F.sum(F.col("value").isNull().cast("long")) / F.count(F.lit(1))).alias(
+                "null_rate_value"
+            ),
+        )
+    )
+
+
+def q_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: salted two-level hash-aggregate duplicate finder."""
+    li = _t(spark, sf_dir, "lineitem")
+    return duplicate_keys(li, "l_orderkey").withColumnRenamed("l_orderkey", "key")
+
+
+def q_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: orphans via broadcast LEFT ANTI join (clean data -> empty set,
+    which is itself the assertion)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .select(F.col("o_orderkey").alias("orphan_key"), F.col("o_custkey").alias("fk_value"))
+    )
+
+
+def q_ref_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 positive path: broadcast dim join + rollup metrics per brand."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _r6(F.sum("l_quantity")).alias("sum_qty"),
+        )
+    )
+
+
+def q_span_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 shape on flat data: deterministic per-group sequence numbering
+    (orderkey = doc, linenumber = offset)."""
+    li = _t(spark, sf_dir, "lineitem")
+    # (orderkey, linenumber) is NOT unique in this synthetic data; extend the
+    # sort key until total so seq is deterministic at any parallelism
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    return li.select(
+        F.col("l_orderkey").alias("doc_key"),
+        F.row_number().over(w).alias("seq"),
+        F.col("l_linenumber").alias("offset"),
+        F.col("l_partkey").alias("ref_key"),
+    )
+
+
+def q_event_gating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: whole-event rejection — an order survives only if EVERY line
+    passes (None-propagation contract, implement.py:185-187)."""
+    li = _t(spark, sf_dir, "lineitem")
+    ok = ((F.col("l_quantity") <= 45) & (F.col("l_discount") <= 0.08)).cast("int")
+    return (
+        li.groupBy(F.col("l_orderkey").alias("doc_key"))
+        .agg(F.min(ok).alias("all_pass"), F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("all_pass") == 1)
+        .select("doc_key", "n_members")
+    )
+
+
+_BIN_W, _N_BINS = 20.0, 25  # events.value ∈ [0, 500)
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: PSI of each event_type's value histogram vs the global one,
+    pure column expressions (JVM-side), fixed bin edges."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = F.least(F.floor(F.col("value") / _BIN_W), F.lit(_N_BINS - 1)).cast("int").alias("bin_id")
+    obs = e.groupBy(F.col("event_type").alias("grp"), b).agg(F.count(F.lit(1)).alias("c"))
+    glob = e.groupBy(b).agg(F.count(F.lit(1)).alias("g"))
+    tot = e.groupBy(F.col("event_type").alias("grp")).agg(F.count(F.lit(1)).alias("t"))
+    n_all = e.count()
+    eps = F.lit(1e-6)
+    joined = (
+        glob.join(obs.join(tot, "grp"), "bin_id")
+        .select(
+            "grp",
+            (F.greatest(F.col("c") / F.col("t"), eps)).alias("p"),
+            (F.greatest(F.col("g") / F.lit(float(n_all)), eps)).alias("q"),
+        )
+    )
+    return (
+        joined.groupBy("grp")
+        .agg(_r6(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")))).alias("psi"))
+    )
+
+
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 (SQL-expressible twin): KS = max |CDF_grp - CDF_global| over the
+    binned spine, via window cumulative sums."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = F.least(F.floor(F.col("value") / _BIN_W), F.lit(_N_BINS - 1)).cast("int").alias("bin_id")
+    n_all = e.count()
+    obs = e.groupBy(F.col("event_type").alias("grp"), b).agg(F.count(F.lit(1)).alias("c"))
+    glob = e.groupBy(b).agg(F.count(F.lit(1)).alias("g"))
+    tot = e.groupBy(F.col("event_type").alias("grp")).agg(F.count(F.lit(1)).alias("t"))
+    spine = tot.select("grp", "t").crossJoin(glob)
+    full = spine.join(obs, ["grp", "bin_id"], "left").select(
+        "grp",
+        "bin_id",
+        (F.coalesce(F.col("c"), F.lit(0)) / F.col("t")).alias("p"),
+        (F.col("g") / F.lit(float(n_all))).alias("q"),
+    )
+    w = Window.partitionBy("grp").orderBy("bin_id")
+    cdf = full.select(
+        "grp", F.abs(F.sum("p").over(w) - F.sum("q").over(w)).alias("d")
+    )
+    return cdf.groupBy("grp").agg(_r6(F.max("d")).alias("ks"))
+
+
+def q_verdict_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11: errors-as-values — a mini-suite emitting one verdict row per
+    (constraint, group), never raising (implement.py:23-56 contract)."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.groupBy(F.col("source").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("text").isNull().cast("long")).alias("null_text"),
+        F.sum(((F.col("n_chars") < 1) | (F.col("n_chars") > 100000)).cast("long")).alias("oob"),
+    )
+    dups = (
+        d.groupBy("source", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .groupBy(F.col("source").alias("grp"))
+        .agg(F.sum("c").alias("dup_rows"))
+    )
+    base = g.join(dups, "grp", "left").na.fill({"dup_rows": 0})
+
+    def verdict(cid: str, viol):
+        return base.select(
+            F.lit(cid).alias("constraint_id"),
+            F.col("grp"),
+            F.when(viol > 0, F.lit("FAIL")).otherwise(F.lit("PASS")).alias("status"),
+            viol.cast("long").alias("violation_count"),
+        )
+
+    return (
+        verdict("rowcount", F.when(F.col("n") > 0, F.lit(0)).otherwise(F.lit(1)))
+        .unionByName(verdict("null_text", F.col("null_text")))
+        .unionByName(verdict("chars_bounds", F.col("oob")))
+        .unionByName(verdict("unique_doc_id", F.col("dup_rows")))
+    )
+
+
+def q_checkpoint_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12: resume = left-anti join of the worklist against completed ids."""
+    d = _t(spark, sf_dir, "documents")
+    worklist = d.select(F.col("source").alias("part_key")).distinct()
+    done = worklist.filter(F.col("part_key").isin("src0", "src2", "src4"))
+    return worklist.join(done, "part_key", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents")).select(
+        "digest", "n_docs", F.col("doc_ids").cast("array<string>").alias("doc_ids")
+    )
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.03)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dedup.minhash_signature(_t(spark, sf_dir, "documents"), k=12)
+    return dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=3)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash16(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_count(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_ann_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.threshold_pairs(emb, emb.filter(F.col("vec_id") < 5), threshold=0.2)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.bucketed_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_bits=8)
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_stats(_t(spark, sf_dir, "embeddings"))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode plumbing over binary media content (decode stubbed
+    deterministically — no image libs in this container). Rows-only check."""
+    from sat_val_framework_spark.fixtures import media_catalog_df
+
+    media = multimodal.media_table(media_catalog_df(spark, 500))
+    return multimodal.decode_features(media)
+
+
+def q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan for audio/video media. Rows-only check."""
+    from sat_val_framework_spark.fixtures import media_catalog_df
+
+    media = multimodal.media_table(media_catalog_df(spark, 500))
+    return multimodal.frame_sample_plan(media)
+
+
+def q_drift_ks_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 proper: KS via Arrow-vectorized applyInPandas over per-group
+    histograms (non-SQL-expressible path; rows-only check — the SQL twin
+    q_drift_ks covers value correctness)."""
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = F.least(F.floor(F.col("value") / _BIN_W), F.lit(_N_BINS - 1)).cast("int").alias("bin_id")
+    n_all = e.count()
+    glob = e.groupBy(b).agg((F.count(F.lit(1)) / F.lit(float(n_all))).alias("q"))
+    obs = e.groupBy(F.col("event_type").alias("grp"), b).agg(F.count(F.lit(1)).alias("c"))
+    full = obs.join(glob, "bin_id")
+
+    def ks(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bin_id")
+        p = pdf["c"] / pdf["c"].sum()
+        return pd.DataFrame(
+            {
+                "grp": [pdf["grp"].iloc[0]],
+                "ks": [round(float((p.cumsum() - pdf["q"].cumsum()).abs().max()), 6)],
+            }
+        )
+
+    return full.groupBy("grp").applyInPandas(ks, schema="grp string, ks double")
+
+
+def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming: tumbling 1-hour windowed aggregation over the
+    events table driven to completion with a memory sink."""
+    e_schema = _t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(e_schema)
+        # file stream sources want a directory; select just the events file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        # parquet stores TIMESTAMP_NTZ; watermarks need TIMESTAMP (session
+        # TZ is pinned to UTC so the wall-clock values are unchanged)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type").alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _r6(F.sum("value")).alias("sum_value"))
+        .select(F.col("w.start").alias("w_start"), "grp", "n_events", "sum_value")
+    )
+    import re
+
+    name = "stream_out_" + re.sub(r"\W", "_", sf_dir)
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic OLAP shape: TPC-H Q1-style wide aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy(F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls"))
+        .agg(
+            _r6(F.sum("l_quantity")).alias("sum_qty"),
+            _r6(F.sum("l_extendedprice")).alias("sum_base"),
+            _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k: top 3 customers by order revenue per nation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nation"), F.col("c_custkey").alias("cust"))
+        .agg(_r6(F.sum("o_totalprice")).alias("revenue"))
+    )
+    w = Window.partitionBy("nation").orderBy(F.col("revenue").desc(), F.col("cust"))
+    return rev.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the verdict-union validation suite on sf0.001."""
+    return q_verdict_union(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "stats_per_source": q_stats_per_source,
+        "null_rates": q_null_rates,
+        "uniqueness": q_uniqueness,
+        "referential_orphans": q_referential_orphans,
+        "ref_coverage": q_ref_coverage,
+        "span_canonicalize": q_span_canonicalize,
+        "event_gating": q_event_gating,
+        "drift_psi": q_drift_psi,
+        "drift_ks": q_drift_ks,
+        "verdict_union": q_verdict_union,
+        "checkpoint_pending": q_checkpoint_pending,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "fingerprint": q_fingerprint,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "ann_threshold": q_ann_threshold,
+        "ann_topk": q_ann_topk,
+        "ann_bucketed": q_ann_bucketed,
+        "embedding_stats": q_embedding_stats,
+        "multimodal_features": q_multimodal_features,
+        "frame_plan": q_frame_plan,
+        "drift_ks_pandas": q_drift_ks_pandas,
+        "streaming_window": q_streaming_window,
+        "tpch_q1": q_tpch_q1,
+        "topk_per_group": q_topk_per_group,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# DuckDB twins. Tables pre-registered as views. Aliases match Spark exactly.
+_STOP_SQL = r"\b(the|a|an|and|of|to|in|is|it|for|on|with)\b"
+_TOKS = r"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')"
+_SHINGLES = (
+    "list_transform(generate_series(1, greatest(len(t)-2, 1)), "
+    "j -> array_to_string(list_slice(t, j, j+2), ' '))"
+)
+
+
+def _minhash_sig_sql() -> str:
+    entries = ", ".join(
+        f"list_min(list_transform(s, x -> md5('{i}:' || x)))" for i in range(12)
+    )
+    return f"[{entries}]"
+
+
+def _simhash_sql() -> str:
+    bits = " || ".join(
+        "case when 2 * len(list_filter(t, x -> strpos('89abcdef', substr(md5(x), %d, 1)) > 0)) "
+        ">= len(t) then '1' else '0' end" % (j + 1)
+        for j in range(16)
+    )
+    return bits
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "stats_per_source": """
+            SELECT source AS grp,
+                   count(*) AS n_docs,
+                   count(*) FILTER (text IS NULL) AS n_null_text,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars,
+                   round(avg(n_chars), 6) AS avg_chars,
+                   round(quantile_cont(n_chars, 0.5), 6) AS median_chars
+            FROM documents GROUP BY source
+        """,
+        "null_rates": """
+            SELECT event_type AS grp,
+                   count(*) AS n_rows,
+                   count(*) FILTER (value IS NULL) AS n_null_value,
+                   count(*) FILTER (props IS NULL) AS n_null_props,
+                   round(count(*) FILTER (value IS NULL) * 1.0 / count(*), 6) AS null_rate_value
+            FROM events GROUP BY event_type
+        """,
+        "uniqueness": """
+            SELECT l_orderkey AS key, count(*) AS dup_count
+            FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+        """,
+        "referential_orphans": """
+            SELECT o_orderkey AS orphan_key, o_custkey AS fk_value
+            FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        """,
+        "ref_coverage": """
+            SELECT p_brand AS grp, count(*) AS n_items, round(sum(l_quantity), 6) AS sum_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "span_canonicalize": """
+            SELECT l_orderkey AS doc_key,
+                   row_number() OVER (PARTITION BY l_orderkey
+                       ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) AS seq,
+                   l_linenumber AS offset,
+                   l_partkey AS ref_key
+            FROM lineitem
+        """,
+        "event_gating": """
+            SELECT l_orderkey AS doc_key, count(*) AS n_members
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING min(CASE WHEN l_quantity <= 45 AND l_discount <= 0.08 THEN 1 ELSE 0 END) = 1
+        """,
+        "drift_psi": """
+            WITH e AS (SELECT event_type,
+                              least(floor(value / 20.0), 24)::int AS bin_id
+                       FROM events WHERE value IS NOT NULL),
+            obs AS (SELECT event_type AS grp, bin_id, count(*) AS c FROM e GROUP BY 1, 2),
+            ghist AS (SELECT bin_id, count(*) AS g FROM e GROUP BY 1),
+            tot AS (SELECT event_type AS grp, count(*) AS t FROM e GROUP BY 1),
+            n AS (SELECT count(*) AS n_all FROM e)
+            SELECT grp,
+                   round(sum((p - q) * ln(p / q)), 6) AS psi
+            FROM (SELECT obs.grp,
+                         greatest(obs.c * 1.0 / tot.t, 1e-6) AS p,
+                         greatest(ghist.g * 1.0 / n.n_all, 1e-6) AS q
+                  FROM ghist JOIN obs USING (bin_id) JOIN tot ON obs.grp = tot.grp, n)
+            GROUP BY grp
+        """,
+        "drift_ks": """
+            WITH e AS (SELECT event_type,
+                              least(floor(value / 20.0), 24)::int AS bin_id
+                       FROM events WHERE value IS NOT NULL),
+            obs AS (SELECT event_type AS grp, bin_id, count(*) AS c FROM e GROUP BY 1, 2),
+            ghist AS (SELECT bin_id, count(*) AS g FROM e GROUP BY 1),
+            tot AS (SELECT event_type AS grp, count(*) AS t FROM e GROUP BY 1),
+            n AS (SELECT count(*) AS n_all FROM e),
+            spine AS (SELECT tot.grp, tot.t, ghist.bin_id, ghist.g FROM tot, ghist),
+            full_h AS (SELECT spine.grp, spine.bin_id,
+                              coalesce(obs.c, 0) * 1.0 / spine.t AS p,
+                              spine.g * 1.0 / n.n_all AS q
+                       FROM spine LEFT JOIN obs ON spine.grp = obs.grp AND spine.bin_id = obs.bin_id, n),
+            cdf AS (SELECT grp,
+                           abs(sum(p) OVER (PARTITION BY grp ORDER BY bin_id)
+                             - sum(q) OVER (PARTITION BY grp ORDER BY bin_id)) AS d
+                    FROM full_h)
+            SELECT grp, round(max(d), 6) AS ks FROM cdf GROUP BY grp
+        """,
+        "verdict_union": """
+            WITH g AS (SELECT source AS grp, count(*) AS n,
+                              count(*) FILTER (text IS NULL) AS null_text,
+                              count(*) FILTER (n_chars < 1 OR n_chars > 100000) AS oob
+                       FROM documents GROUP BY source),
+            dups AS (SELECT grp, sum(c) AS dup_rows FROM
+                        (SELECT source AS grp, doc_id, count(*) AS c FROM documents
+                         GROUP BY source, doc_id HAVING count(*) > 1)
+                     GROUP BY grp),
+            base AS (SELECT g.*, coalesce(dups.dup_rows, 0) AS dup_rows
+                     FROM g LEFT JOIN dups ON g.grp = dups.grp)
+            SELECT 'rowcount' AS constraint_id, grp,
+                   CASE WHEN n > 0 THEN 'PASS' ELSE 'FAIL' END AS status,
+                   CASE WHEN n > 0 THEN 0 ELSE 1 END::bigint AS violation_count FROM base
+            UNION ALL
+            SELECT 'null_text', grp,
+                   CASE WHEN null_text > 0 THEN 'FAIL' ELSE 'PASS' END,
+                   null_text::bigint FROM base
+            UNION ALL
+            SELECT 'chars_bounds', grp,
+                   CASE WHEN oob > 0 THEN 'FAIL' ELSE 'PASS' END,
+                   oob::bigint FROM base
+            UNION ALL
+            SELECT 'unique_doc_id', grp,
+                   CASE WHEN dup_rows > 0 THEN 'FAIL' ELSE 'PASS' END,
+                   dup_rows::bigint FROM base
+        """,
+        "checkpoint_pending": """
+            SELECT DISTINCT source AS part_key FROM documents
+            WHERE source NOT IN ('src0', 'src2', 'src4')
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS digest, count(*) AS n_docs,
+                   list_transform(list_sort(list(doc_id)), x -> x::varchar) AS doc_ids
+            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "dedup_jaccard": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM toks),
+            sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(n_inter * 1.0 / (sa.n_shingles + sb.n_shingles - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_inter * 1.0 / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.03
+        """,
+        "minhash_lsh": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks),
+            sig AS (SELECT doc_id, {_minhash_sig_sql()} AS m FROM sh),
+            bands AS (
+                SELECT doc_id, b.band_id,
+                       md5(m[b.band_id * 3 + 1] || '|' || m[b.band_id * 3 + 2] || '|' || m[b.band_id * 3 + 3]) AS band_key
+                FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_id) b)
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        """,
+        "simhash": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+            SELECT doc_id, {_simhash_sql()} AS simhash FROM toks
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   list_min(list_transform(
+                       generate_series(1, greatest(length(text) - 31, 1)),
+                       j -> md5(substr(text, j::int, 32)))) AS fingerprint
+            FROM documents
+        """,
+        "token_count": f"""
+            SELECT doc_id, len({_TOKS})::bigint AS n_tokens FROM documents
+        """,
+        "quality_score": f"""
+            WITH x AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       len({_TOKS}) AS n_tokens,
+                       len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+                       len(regexp_extract_all(lower(text), '{_STOP_SQL}')) AS n_stop
+                FROM documents),
+            y AS (
+                SELECT doc_id, n_chars, n_tokens,
+                       CASE WHEN n_tokens > 0 THEN n_chars * 1.0 / n_tokens ELSE 0.0 END AS avg_tok,
+                       CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END AS stop_ratio,
+                       CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END AS punct_ratio
+                FROM x)
+            SELECT doc_id, n_chars::bigint AS n_chars, n_tokens::bigint AS n_tokens,
+                   round(avg_tok, 6) AS avg_token_len,
+                   round(stop_ratio, 6) AS stopword_ratio,
+                   round(punct_ratio, 6) AS punct_ratio,
+                   round(least(stop_ratio * 2.0, 1.0) * 0.5
+                         + (CASE WHEN avg_tok >= 3.0 AND avg_tok <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.3
+                         + least(punct_ratio * 20.0, 1.0) * 0.2, 6) AS quality_score
+            FROM y
+        """,
+        "lang_id": f"""
+            WITH x AS (
+                SELECT doc_id,
+                       len({_TOKS}) AS n_tokens,
+                       len(regexp_extract_all(lower(text), '{_STOP_SQL}')) AS n_stop
+                FROM documents)
+            SELECT doc_id,
+                   CASE WHEN (CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END) >= 0.05
+                        THEN 'en' ELSE 'unk' END AS lang_pred,
+                   round(least((CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END) * 5.0, 1.0), 6) AS lang_conf
+            FROM x
+        """,
+        "ann_threshold": """
+            SELECT c.vec_id AS neighbor_id, q.vec_id AS query_id,
+                   round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos_sim
+            FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 5) q
+            WHERE c.vec_id != q.vec_id
+              AND round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) >= 0.2
+        """,
+        "ann_topk": """
+            WITH scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS s
+                FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 5) q
+                WHERE c.vec_id != q.vec_id),
+            ranked AS (
+                SELECT query_id, neighbor_id, s,
+                       row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+                FROM scored)
+            SELECT query_id, neighbor_id, round(s, 6) AS cos_sim, rank::int AS rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "embedding_stats": """
+            SELECT label AS grp, count(*) AS n_vecs,
+                   round(avg(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS avg_norm
+            FROM embeddings GROUP BY label
+        """,
+        "streaming_window": """
+            SELECT date_trunc('hour', ts) AS w_start, event_type AS grp,
+                   count(*) AS n_events, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag AS rf, l_linestatus AS ls,
+                   round(sum(l_quantity), 6) AS sum_qty,
+                   round(sum(l_extendedprice), 6) AS sum_base,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc,
+                   count(*) AS n_rows
+            FROM lineitem WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "topk_per_group": """
+            WITH rev AS (
+                SELECT c_nationkey AS nation, c_custkey AS cust,
+                       round(sum(o_totalprice), 6) AS revenue
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2)
+            SELECT nation, cust, revenue,
+                   rnk FROM (
+                SELECT nation, cust, revenue,
+                       row_number() OVER (PARTITION BY nation ORDER BY revenue DESC, cust) AS rnk
+                FROM rev) WHERE rnk <= 3
+        """,
+        # ann_bucketed, multimodal_features, frame_plan, drift_ks_pandas:
+        # intentionally no oracle (LSH bucketing with 1-based vs 0-based
+        # index subtleties, binary/stub outputs, pandas-UDF-only path) ->
+        # driver records rows-only checks.
+    }

@@ -1,0 +1,3 @@
+from sat_val_framework_spark.functions import dedup, multimodal, similarity, text
+
+__all__ = ["text", "dedup", "similarity", "multimodal"]

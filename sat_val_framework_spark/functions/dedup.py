@@ -1,0 +1,176 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design notes (the point of each variant at 100 TB):
+
+- **exact**: hash-groupBy on a content digest. One shuffle on the digest;
+  partial aggregation collapses per-split duplicates map-side.
+- **n-gram Jaccard**: exact pairwise similarity via a self-join on shared
+  shingles. Quadratic in the worst case — correct but only for candidate
+  verification or small corpora; LSH is the scale path that feeds it.
+- **MinHash+LSH**: signature = per-salt min over shingle hashes (k
+  independent permutations approximated by salted md5). Banding turns
+  near-dup search into an equi-join on (band_id, band_key): docs agreeing
+  on any band land in the same bucket. Join is on a high-cardinality key
+  -> well-distributed shuffle; no pairwise blowup.
+- **SimHash**: one 16-bit signature per doc from token-hash bit votes;
+  hamming-adjacent buckets find near-dups of a different flavor (frequency-
+  weighted). Pure aggregation, no joins.
+
+All hashing is md5-hex-string based — deterministic, seed-free, and
+bit-identical in Spark and ANSI SQL (the DuckDB oracle twins), with min()
+over hex strings standing in for min() over uint64 hashes. A production
+engine would swap md5 for xxhash64; the plan shapes are unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sat_val_framework_spark.functions.text import tokens_col
+
+HEX_HIGH = "89abcdef"  # md5 hex chars whose high bit is set
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content-digest groups with more than one member."""
+    d = docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("digest"))
+    return (
+        d.groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (duplicates preserved)."""
+    toks = tokens_col(text)
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda j: F.concat_ws(" ", F.slice(toks, j, n)),
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard >= threshold via self-join on shared shingles.
+
+    |A ∩ B| from the join, |A ∪ B| = |A|+|B|-|A∩B| (distinct shingles).
+    """
+    sh = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(shingles_col(F.col(text_col), n))).alias("shingle"),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature(
+    docs: DataFrame,
+    k: int = 12,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """k-permutation MinHash signature: sig[i] = min(md5(i || ':' || shingle)).
+
+    One narrow projection per doc — no shuffle at all; the expensive join
+    happens later on LSH band keys only.
+    """
+    sh = shingles_col(F.col(text_col), n)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
+            for i in range(k)
+        ]
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 3,
+) -> DataFrame:
+    """Band the signature and equi-join on (band_id, band_key): classic
+    MinHash-LSH bucketing. Distinct candidate pairs, doc_a < doc_b."""
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col("minhash")[b * rows_per_band + r] for r in range(rows_per_band)]
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash as a bit string: bit j votes +1 when hex digit j of the
+    token's md5 has its high bit set, weighted by token frequency."""
+    toks = tokens_col(F.col(text_col))
+    n_tok = F.size(toks)
+
+    def bit(j: int) -> Column:
+        high = F.size(
+            F.filter(
+                toks,
+                lambda t: F.substring(F.md5(t), j + 1, 1).isin(*list(HEX_HIGH)),
+            )
+        )
+        return F.when(high * 2 >= n_tok, F.lit("1")).otherwise(F.lit("0"))
+
+    sig = F.concat(*[bit(j) for j in range(16)])
+    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))

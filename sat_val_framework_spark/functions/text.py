@@ -1,0 +1,89 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage codegen) — no Python in
+the hot path. Every function's output columns carry stable aliases so the
+DuckDB oracle twins in __spark_entry__ can hash-match values exactly; every
+expression here was chosen to evaluate identically in Spark SQL and ANSI
+SQL (md5 hex, regexp_count with RE2-compatible patterns, \\s+ splits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# word-boundary stopword alternation — identical semantics under Java regex
+# (Spark) and RE2 (DuckDB); keep in sync with __spark_entry__ oracle SQL
+STOPWORD_RE = r"\b(the|a|an|and|of|to|in|is|it|for|on|with)\b"
+PUNCT_RE = r"[.,;:!?]"
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization; '' -> empty array, not ['']."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword heuristics -> one quality score.
+
+    The score is a deterministic arithmetic blend, not a model: pipelines
+    threshold it to drop boilerplate/garbage before training.
+    """
+    t = F.col(text_col)
+    lower = F.lower(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(tokens_col(t))
+    n_punct = F.regexp_count(t, F.lit(PUNCT_RE))
+    n_stop = F.regexp_count(lower, F.lit(STOPWORD_RE))
+    avg_tok = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    score = (
+        F.least(stop_ratio * 2.0, F.lit(1.0)) * 0.5
+        + F.when((avg_tok >= 3.0) & (avg_tok <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0)) * 0.3
+        + F.least(punct_ratio * 20.0, F.lit(1.0)) * 0.2
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(avg_tok, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """N-gram/stopword-heuristic language ID. Real pipelines plug a model in
+    here; the engine contract is the shape: doc_id -> (lang, confidence)."""
+    lower = F.lower(F.col(text_col))
+    n_tokens = F.size(tokens_col(F.col(text_col)))
+    n_stop = F.regexp_count(lower, F.lit(STOPWORD_RE))
+    ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
+        F.round(F.least(ratio * 5.0, F.lit(1.0)), 6).alias("lang_conf"),
+    )
+
+
+def fingerprint(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", window: int = 32
+) -> DataFrame:
+    """Rolling-hash document fingerprint: min md5 over all ``window``-char
+    substrings (a 1-hash winnowing sketch). Two docs sharing any long run of
+    text collide with high probability — a cheap near-dup prefilter."""
+    t = F.col(text_col)
+    n = F.greatest(F.length(t) - (window - 1), F.lit(1))
+    mins = F.array_min(
+        F.transform(F.sequence(F.lit(1), n), lambda j: F.md5(t.substr(j, F.lit(window))))
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), mins.alias("fingerprint"))
