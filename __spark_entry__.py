@@ -29,6 +29,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like _t but fanned out to the session parallelism when the file is a
+    single tiny split: CPU-heavy per-row ops (shingling, hashing) would
+    otherwise run on ONE core. At production scale the input has many
+    splits already and this is a no-op."""
+    df = _t(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 def _r6(c) -> F.Column:
     return F.round(c, 6)
 
@@ -230,38 +242,38 @@ def q_checkpoint_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_duplicates(_t(spark, sf_dir, "documents")).select(
+    return dedup.exact_duplicates(_t_wide(spark, sf_dir, "documents")).select(
         "digest", "n_docs", F.col("doc_ids").cast("array<string>").alias("doc_ids")
     )
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.03)
+    return dedup.jaccard_pairs(_t_wide(spark, sf_dir, "documents"), threshold=0.03)
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = dedup.minhash_signature(_t(spark, sf_dir, "documents"), k=12)
+    sigs = dedup.minhash_signature(_t_wide(spark, sf_dir, "documents"), k=12)
     return dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=3)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash16(_t(spark, sf_dir, "documents"))
+    return dedup.simhash16(_t_wide(spark, sf_dir, "documents"))
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.fingerprint(_t(spark, sf_dir, "documents"))
+    return text.fingerprint(_t_wide(spark, sf_dir, "documents"))
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.token_count(_t(spark, sf_dir, "documents"))
+    return text.token_count(_t_wide(spark, sf_dir, "documents"))
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.quality_score(_t(spark, sf_dir, "documents"))
+    return text.quality_score(_t_wide(spark, sf_dir, "documents"))
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.lang_id(_t(spark, sf_dir, "documents"))
+    return text.lang_id(_t_wide(spark, sf_dir, "documents"))
 
 
 def q_ann_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -436,10 +448,14 @@ _SHINGLES = (
 
 
 def _minhash_sig_sql() -> str:
-    entries = ", ".join(
-        f"list_min(list_transform(s, x -> md5('{i}:' || x)))" for i in range(12)
+    """Mirror dedup.minhash_signature: per-shingle 32-bit content hash, k
+    affine-permutation mins (same A/B constants), grouped per doc."""
+    from sat_val_framework_spark.functions.dedup import _M32, _MINHASH_A, _MINHASH_B
+
+    mins = ", ".join(
+        f"min(({_MINHASH_A[i]} * h32 + {_MINHASH_B[i]}) % {_M32}) AS m{i}" for i in range(12)
     )
-    return f"[{entries}]"
+    return mins
 
 
 def _simhash_sql() -> str:
@@ -585,11 +601,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-            sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks),
-            sig AS (SELECT doc_id, {_minhash_sig_sql()} AS m FROM sh),
+            sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM toks),
+            hashed AS (SELECT doc_id,
+                              ('0x' || substr(md5(shingle), 1, 15))::bigint % 4294967296 AS h32
+                       FROM sh),
+            sig AS (SELECT doc_id, {_minhash_sig_sql()} FROM hashed GROUP BY doc_id),
             bands AS (
                 SELECT doc_id, b.band_id,
-                       md5(m[b.band_id * 3 + 1] || '|' || m[b.band_id * 3 + 2] || '|' || m[b.band_id * 3 + 3]) AS band_key
+                       CASE b.band_id
+                         WHEN 0 THEN md5(m0::varchar || '|' || m1::varchar || '|' || m2::varchar)
+                         WHEN 1 THEN md5(m3::varchar || '|' || m4::varchar || '|' || m5::varchar)
+                         WHEN 2 THEN md5(m6::varchar || '|' || m7::varchar || '|' || m8::varchar)
+                         ELSE md5(m9::varchar || '|' || m10::varchar || '|' || m11::varchar)
+                       END AS band_key
                 FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_id) b)
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b

@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] plus the north-rule
+metric — constraint-eval throughput (validated docs/sec) of the full
+DEFAULT_SUITE over a bench-scale seeded documents table — and print ONE
+JSON line.
+
+--scaling: run the suite job at local[8] and local[32] on identical input
+(the sandbox stand-in for N vs 4N executors; BASELINE.md) in separate
+subprocesses and report throughput at both plus scaling efficiency.
+
+--suite-only --master local[N]: internal child mode for --scaling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+CACHE = os.path.join(REPO, ".cache", "bench")
+
+HEADLINE = [
+    "tpch_q1",
+    "uniqueness",
+    "ref_coverage",
+    "span_canonicalize",
+    "event_gating",
+    "drift_psi",
+    "drift_ks",
+    "topk_per_group",
+    "stats_per_source",
+    "verdict_union",
+    "minhash_lsh",
+    "simhash",
+    "quality_score",
+    "ann_topk",
+    "embedding_stats",
+]
+
+
+def _materialize(df) -> int:
+    """Force full execution without driver-side collect."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def _docs_path(n_docs: int) -> str:
+    return os.path.join(CACHE, f"documents_{n_docs}.parquet")
+
+
+def _ensure_fixture(spark, n_docs: int) -> str:
+    from sat_val_framework_spark.fixtures import documents_df
+
+    path = _docs_path(n_docs)
+    if not os.path.exists(path):
+        os.makedirs(CACHE, exist_ok=True)
+        documents_df(spark, n_docs).repartition(32, "part_id").write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def suite_throughput(spark, n_docs: int) -> dict:
+    """North-rule metric: full DEFAULT_SUITE over the seeded documents table;
+    throughput = docs validated per second (all constraints evaluated)."""
+    from sat_val_framework_spark.fixtures import baseline_stats_df, media_catalog_df
+    from sat_val_framework_spark.runner import DEFAULT_SUITE, run_suite
+
+    path = _ensure_fixture(spark, n_docs)
+    docs = spark.read.parquet(path)
+    catalog = media_catalog_df(spark)
+    baseline = baseline_stats_df(spark)
+    t0 = time.time()
+    res = run_suite(spark, docs, DEFAULT_SUITE, catalog=catalog, baseline=baseline)
+    _materialize(res.verdicts)
+    dt = time.time() - t0
+    return {"suite_sec": round(dt, 3), "docs": n_docs, "docs_per_sec": round(n_docs / dt, 1)}
+
+
+def run_headline(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        _materialize(qs[name](spark, sf_dir))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def make_spark(master: str):
+    from sat_val_framework_spark.session import get_spark
+
+    return get_spark(app_name="bench", master=master)
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    if "--scaling" in args:
+        results = {}
+        for n in (8, 32):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--suite-only", "--master", f"local[{n}]"],
+                capture_output=True,
+                text=True,
+                check=True,
+                cwd=REPO,
+            )
+            results[n] = json.loads(out.stdout.strip().splitlines()[-1])
+        tp8, tp32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
+        eff = (tp32 / tp8) / 4.0
+        print(
+            json.dumps(
+                {
+                    "metric": "suite scaling local[8] vs local[32]",
+                    "docs": results[8]["docs"],
+                    "docs_per_sec_8": tp8,
+                    "docs_per_sec_32": tp32,
+                    "speedup_8_to_32": round(tp32 / tp8, 3),
+                    "scaling_efficiency": round(eff, 3),
+                }
+            )
+        )
+        return 0
+
+    if "--suite-only" in args:
+        master = args[args.index("--master") + 1] if "--master" in args else f"local[{CPUS}]"
+        spark = make_spark(master)
+        # warm the JVM + fixture cache so the measurement isn't startup time
+        _ensure_fixture(spark, BENCH_DOCS)
+        warm = suite_throughput(spark, BENCH_DOCS)
+        res = suite_throughput(spark, BENCH_DOCS)
+        res["master"] = master
+        res["warmup_sec"] = warm["suite_sec"]
+        print(json.dumps(res))
+        spark.stop()
+        return 0
+
+    spark = make_spark(f"local[{CPUS}]")
+    queries = run_headline(spark, SF_DIR)
+    suite = suite_throughput(spark, BENCH_DOCS)
+    total = round(sum(queries.values()) + suite["suite_sec"], 3)
+    print(
+        json.dumps(
+            {
+                "metric": "validated docs/sec (constraint-eval throughput) + headline query latencies",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "suite_docs": suite["docs"],
+                "suite_sec": suite["suite_sec"],
+                "docs_per_sec": suite["docs_per_sec"],
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -96,6 +96,14 @@ def jaccard_pairs(
     )
 
 
+# affine-permutation constants for k-permutation MinHash: A_i < 2^31 and
+# h32 < 2^32 keep A_i*h32 + B_i inside int64 in Spark AND DuckDB (the
+# oracle twin errors on int64 overflow instead of wrapping)
+_M32 = 4_294_967_296
+_MINHASH_A = [(2_654_435_761 * (2 * i + 1)) % 2_147_483_647 for i in range(64)]
+_MINHASH_B = [(40_503 * (i + 1)) % 65_536 for i in range(64)]
+
+
 def minhash_signature(
     docs: DataFrame,
     k: int = 12,
@@ -103,19 +111,31 @@ def minhash_signature(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """k-permutation MinHash signature: sig[i] = min(md5(i || ':' || shingle)).
+    """k-permutation MinHash: sig[i] = min over shingles of an affine
+    permutation of the shingle's 32-bit content hash.
 
-    One narrow projection per doc — no shuffle at all; the expensive join
-    happens later on LSH band keys only.
+    Plan shape (the one that survives scale): explode shingles to rows,
+    hash each shingle ONCE in a projection (Catalyst does not CSE repeated
+    md5 subtrees through lambda expressions — the array-fold formulation
+    measured 12-40x slower), then ONE hash-aggregate with k cheap integer
+    ``min`` aggregates. Partial aggregation means only k ints per doc cross
+    the shuffle. md5->conv stands in for xxhash64 so the DuckDB oracle can
+    reproduce values bit-for-bit; swap in xxhash64 when oracle parity isn't
+    needed.
     """
-    sh = shingles_col(F.col(text_col), n)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
-            for i in range(k)
-        ]
+    rows = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
+    ).select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long") % _M32).alias("h32"),
     )
-    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("minhash"))
+    mins = [
+        F.min((F.lit(_MINHASH_A[i]) * F.col("h32") + F.lit(_MINHASH_B[i])) % _M32).alias(f"m{i}")
+        for i in range(k)
+    ]
+    agg = rows.groupBy("doc_id").agg(*mins)
+    return agg.select("doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("minhash"))
 
 
 def lsh_candidate_pairs(
@@ -159,18 +179,32 @@ def lsh_candidate_pairs(
 
 def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """16-bit SimHash as a bit string: bit j votes +1 when hex digit j of the
-    token's md5 has its high bit set, weighted by token frequency."""
+    token's md5 has its high bit set, weighted by token frequency.
+
+    Single fold over the tokens (md5 computed once per token, not once per
+    bit): accumulate 16 high-bit counts, then threshold against n_tokens.
+    """
     toks = tokens_col(F.col(text_col))
     n_tok = F.size(toks)
-
-    def bit(j: int) -> Column:
-        high = F.size(
-            F.filter(
-                toks,
-                lambda t: F.substring(F.md5(t), j + 1, 1).isin(*list(HEX_HIGH)),
-            )
-        )
-        return F.when(high * 2 >= n_tok, F.lit("1")).otherwise(F.lit("0"))
-
-    sig = F.concat(*[bit(j) for j in range(16)])
+    hashes = F.transform(toks, lambda t: F.md5(t))  # md5 once per token
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 16),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda j: F.when(
+                    h.substr(j, F.lit(1)).isin(*list(HEX_HIGH)), F.lit(1)
+                ).otherwise(F.lit(0)),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    sig = F.concat(
+        *[
+            F.when(votes[j] * 2 >= n_tok, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(16)
+        ]
+    )
     return docs.select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))

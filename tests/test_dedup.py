@@ -1,0 +1,85 @@
+"""Dedup operators: exact, Jaccard, MinHash-LSH, SimHash — small seeded
+corpora with known duplicate structure."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sat_val_framework_spark.functions import dedup
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),          # near dup of 1
+        (4, "pack my box with five dozen liquor jugs"),
+        (5, "sphinx of black quartz judge my vow"),
+        (6, "completely different words entirely unrelated content here"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(corpus):
+    groups = dedup.exact_duplicates(corpus).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2
+    assert groups[0]["doc_ids"] == [1, 2]
+
+
+def test_jaccard_pairs_finds_near_dup(corpus):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dedup.jaccard_pairs(corpus, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert (2, 3) in pairs
+    assert all(a in (1, 2, 3) and b in (1, 2, 3) for a, b in pairs)
+
+
+def test_jaccard_matches_python_oracle(corpus):
+    rows = {r["doc_id"]: r["text"] for r in corpus.collect()}
+
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 1))}
+
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dedup.jaccard_pairs(corpus, threshold=0.0).collect()}
+    import itertools
+
+    for a, b in itertools.combinations(sorted(rows), 2):
+        inter = sh(rows[a]) & sh(rows[b])
+        if not inter:
+            assert (a, b) not in got  # join on shared shingles: no pair row
+            continue
+        expected = round(len(inter) / len(sh(rows[a]) | sh(rows[b])), 6)
+        assert got[(a, b)] == expected, (a, b)
+
+
+def test_minhash_identical_docs_identical_sigs(corpus):
+    sigs = {r["doc_id"]: r["minhash"] for r in dedup.minhash_signature(corpus).collect()}
+    assert sigs[1] == sigs[2]
+    # near-dup shares most of the signature; unrelated docs share little
+    share_13 = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    share_16 = sum(a == b for a, b in zip(sigs[1], sigs[6]))
+    assert share_13 > share_16
+
+
+def test_lsh_catches_exact_and_near_dups(corpus):
+    sigs = dedup.minhash_signature(corpus)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.lsh_candidate_pairs(sigs).collect()}
+    assert (1, 2) in pairs
+    # no candidates among completely unrelated docs
+    assert not any({4, 5, 6} & {a, b} for a, b in pairs if (a, b) != (1, 2) and (a, b) != (1, 3) and (a, b) != (2, 3))
+
+
+def test_simhash_properties(corpus):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash16(corpus).collect()}
+    assert all(len(v) == 16 and set(v) <= {"0", "1"} for v in sh.values())
+    assert sh[1] == sh[2]
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    assert ham(sh[1], sh[3]) <= ham(sh[1], sh[6]) + 2  # near-dup no farther than unrelated (slack for 16 bits)
+
+
+def test_deterministic_across_partitionings(spark, corpus):
+    one = dedup.minhash_signature(corpus.coalesce(1)).collect()
+    many = dedup.minhash_signature(corpus.repartition(8)).collect()
+    assert {r["doc_id"]: r["minhash"] for r in one} == {r["doc_id"]: r["minhash"] for r in many}

@@ -1,0 +1,68 @@
+"""Similarity search: exact cosine vs numpy oracle; bucketed variant is a
+subset of exact; embedding stats."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sat_val_framework_spark.functions import similarity
+
+N, DIM = 200, 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(N, DIM).astype("float32")
+    rows = [(i, vecs[i].tolist(), int(i % 4)) for i in range(N)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    return df, vecs
+
+
+def test_topk_matches_numpy(emb):
+    df, vecs = emb
+    got = similarity.brute_force_topk(df, df.filter(F.col("vec_id") < 3), k=5)
+    res = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"]) for r in got.collect()}
+    v = vecs.astype("float64")
+    sims = v @ v.T / (np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :])
+    for q in range(3):
+        order = sorted((-(round(sims[q, j], 12)), j) for j in range(N) if j != q)
+        for rank in range(1, 6):
+            nb, cs = res[(q, rank)]
+            exp_j = order[rank - 1][1]
+            assert nb == exp_j
+            assert cs == pytest.approx(round(sims[q, exp_j], 6), abs=2e-6)
+
+
+def test_threshold_pairs_set_equals_numpy(emb):
+    df, vecs = emb
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.threshold_pairs(df, df.filter(F.col("vec_id") < 3), 0.3).collect()
+    }
+    v = vecs.astype("float64")
+    sims = v @ v.T / (np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :])
+    exp = {(q, j) for q in range(3) for j in range(N) if j != q and round(sims[q, j], 6) >= 0.3}
+    assert got == exp
+
+
+def test_bucketed_is_subset_of_exact_and_same_bucket_only(emb):
+    df, _ = emb
+    qs = df.filter(F.col("vec_id") < 5)
+    approx = similarity.bucketed_topk(df, qs, k=10, n_bits=4).collect()
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in similarity.brute_force_topk(df, qs, k=N).collect()
+    }
+    for r in approx:
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cos_sim"]
+
+
+def test_embedding_stats(emb):
+    df, vecs = emb
+    got = {r["grp"]: (r["n_vecs"], r["avg_norm"]) for r in similarity.embedding_stats(df).collect()}
+    for g in range(4):
+        idx = [i for i in range(N) if i % 4 == g]
+        norms = np.linalg.norm(vecs[idx].astype("float64"), axis=1)
+        assert got[g][0] == len(idx)
+        assert got[g][1] == pytest.approx(round(float(norms.mean()), 6), abs=2e-6)

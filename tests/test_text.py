@@ -1,0 +1,67 @@
+"""Text-analysis operators vs plain-Python oracles."""
+
+import re
+
+import pytest
+
+from sat_val_framework_spark.functions import text
+
+ROWS = [
+    (1, "The cat sat on the mat. It is a cat!"),
+    (2, "word " * 50),
+    (3, "x"),
+    (4, "Zxq vbn mlk pqr stw"),  # no stopwords
+    (5, "a b c d e f g h i j k l m n o p"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ROWS, ["doc_id", "text"])
+
+
+def test_token_count_matches_python(docs):
+    got = {r["doc_id"]: r["n_tokens"] for r in text.token_count(docs).collect()}
+    for i, t in ROWS:
+        assert got[i] == len(t.split()), i
+
+
+def test_quality_score_components(docs):
+    got = {r["doc_id"]: r for r in text.quality_score(docs).collect()}
+    for i, t in ROWS:
+        toks = t.split()
+        n_stop = len(re.findall(text.STOPWORD_RE, t.lower()))
+        n_punct = len(re.findall(r"[.,;:!?]", t))
+        r = got[i]
+        assert r["n_chars"] == len(t)
+        assert r["n_tokens"] == len(toks)
+        assert r["stopword_ratio"] == pytest.approx(round(n_stop / len(toks), 6), abs=1e-9)
+        assert r["punct_ratio"] == pytest.approx(round(n_punct / len(t), 6), abs=1e-9)
+        assert 0.0 <= r["quality_score"] <= 1.0
+
+
+def test_lang_id_heuristic(docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in text.lang_id(docs).collect()}
+    assert got[1] == "en"   # stopword-rich English
+    assert got[4] == "unk"  # no stopwords
+    assert got[5] == "en"   # 'a', 'in', 'it', 'on' present
+
+
+def test_fingerprint_equal_for_equal_text(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefgh" * 10), (2, "abcdefgh" * 10), (3, "zzzzzzzz" * 10)],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(df).collect()}
+    assert got[1] == got[2] != got[3]
+
+
+def test_fingerprint_shared_run_collides(spark):
+    shared = "the identical long shared paragraph of text here " * 3
+    df = spark.createDataFrame(
+        [(1, "prefix one " + shared), (2, "other beginning " + shared + " suffix")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(df).collect()}
+    # min-hash over a long shared window usually lands inside the shared run
+    assert got[1] == got[2]
