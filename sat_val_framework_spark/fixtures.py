@@ -139,9 +139,16 @@ def media_catalog_df(spark: SparkSession, n_media: int = N_MEDIA) -> DataFrame:
     )
 
 
-def baseline_stats_df(spark: SparkSession) -> DataFrame:
-    """Analytic reference histograms of the *clean* distributions
-    (FIXTURES.md §3): fixed bin edges, ref_frac sums to 1 per column."""
+def baseline_stats_pandas() -> pd.DataFrame:
+    """Analytic reference histograms as a driver-side pandas frame — the
+    baseline is metadata-sized, so consumers that only need bin edges and
+    ref fractions can skip Spark jobs entirely."""
+    return pd.DataFrame(
+        _baseline_rows(), columns=["col_name", "bin_id", "bin_lo", "bin_hi", "ref_frac"]
+    )
+
+
+def _baseline_rows() -> list[tuple]:
     rows = []
     # n_spans: clean uniform on 1..12 -> bins [k, k+1) for k in 0..N_BINS-1
     for b in range(N_BINS):
@@ -153,6 +160,13 @@ def baseline_stats_df(spark: SparkSession) -> DataFrame:
         lo, hi = b * 10.0, (b + 1) * 10.0
         frac = 10.0 / 200.0 if 20.0 <= lo and hi <= 220.0 else 0.0
         rows.append(("text_len", b, lo, hi, frac))
+    return rows
+
+
+def baseline_stats_df(spark: SparkSession) -> DataFrame:
+    """Analytic reference histograms of the *clean* distributions
+    (FIXTURES.md §3): fixed bin edges, ref_frac sums to 1 per column."""
+    rows = _baseline_rows()
     schema = T.StructType(
         [
             T.StructField("col_name", T.StringType(), False),

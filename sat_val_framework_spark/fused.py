@@ -1,0 +1,250 @@
+"""Fused suite execution: the whole DEFAULT_SUITE in three scans.
+
+SURVEY.md §4 flags multi-constraint scan sharing as the one optimization
+Catalyst cannot do for us: eight independent check plans mean eight scans
+of the documents table and ~20 sequential stage waves. This module fuses
+the suite into the minimal set of passes, emitting verdict rows identical
+to the modular runner (tested):
+
+- **Pass A (doc-level)**: ONE ``groupBy(part_id)`` hash-agg computes the
+  schema assertion counters, per-column stats, AND the n_spans histogram
+  (one ``sum(when(bin==b,1))`` per bin — n_bins extra agg expressions, not
+  an extra shuffle). Whole-stage codegen keeps it one pipeline.
+- **Pass B (span-level)**: ONE ``posexplode`` + broadcast catalog join +
+  ``groupBy(part_id)`` computes the text_len histogram AND the media_ref
+  orphan counters in the same aggregation — the two span consumers share
+  the explode instead of re-scanning.
+- **Pass C**: doc_id uniqueness (its own shuffle by key, unavoidable).
+
+KS/PSI still run through the vectorized applyInPandas kernel (north-star
+requirement) over the unpivoted histogram rows — Python sees n_parts x
+n_bins rows, nothing more.
+
+Contract citations as in the modular operators (reference
+/root/reference/sat_val_framework/implement.py:100-118,140-190).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sat_val_framework_spark.operators.drift import _EPS
+from sat_val_framework_spark.verdicts import FAIL, PASS, sample_col
+
+
+def _bin(col, lo0: float, width: float, n_bins: int):
+    return F.least(
+        F.greatest(F.floor((col.cast("double") - F.lit(lo0)) / F.lit(width)), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+
+
+def _drift_kernel(ref: np.ndarray, col_name: str, ks_thr: float, psi_thr: float):
+    ref_cum = ref.cumsum()
+    n_bins = len(ref)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros(n_bins)
+        counts[pdf["bin_id"].to_numpy()] = pdf["c"].to_numpy()
+        n = counts.sum()
+        p = counts / max(n, 1)
+        ks = float(np.abs(p.cumsum() - ref_cum).max())
+        pc = np.clip(p, _EPS, None)
+        qc = np.clip(ref, _EPS, None)
+        psi = float(((pc - qc) * np.log(pc / qc)).sum())
+        part = int(pdf["part_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "constraint_id": [f"drift_ks:{col_name}", f"drift_psi:{col_name}"],
+                "part_id": [part, part],
+                "status": [FAIL if ks > ks_thr else PASS, FAIL if psi > psi_thr else PASS],
+                "rows_scanned": [int(n), int(n)],
+                "violation_count": [int(ks > ks_thr), int(psi > psi_thr)],
+            }
+        )
+
+    return kernel
+
+
+def _baseline_pd(baseline) -> pd.DataFrame:
+    """Baseline histograms are metadata-sized; accept a Spark frame (one
+    collect) or a pandas frame (zero Spark jobs on the hot path)."""
+    if isinstance(baseline, pd.DataFrame):
+        return baseline
+    return baseline.toPandas()
+
+
+def _edges_pd(bpd: pd.DataFrame, col_name: str) -> tuple[float, float, int]:
+    rows = bpd[bpd.col_name == col_name].sort_values("bin_id")
+    if rows.empty:
+        raise ValueError(f"no baseline_stats rows for column '{col_name}'")
+    lo0 = float(rows.bin_lo.iloc[0])
+    width = float(rows.bin_hi.iloc[0] - rows.bin_lo.iloc[0])
+    return lo0, width, len(rows)
+
+
+def _ref_vector_pd(bpd: pd.DataFrame, col_name: str, n_bins: int) -> np.ndarray:
+    ref = np.zeros(n_bins)
+    rows = bpd[bpd.col_name == col_name]
+    ref[rows.bin_id.to_numpy()] = rows.ref_frac.to_numpy()
+    return ref
+
+
+def _hist_verdicts(
+    wide: DataFrame,
+    prefix: str,
+    n_bins: int,
+    ref: np.ndarray,
+    col_name: str,
+    ks_thr: float,
+    psi_thr: float,
+) -> DataFrame:
+    """Unpivot the n_bins histogram columns to (part_id, bin_id, c) rows and
+    run the Arrow drift kernel."""
+    stack = ", ".join(f"{b}, `{prefix}{b}`" for b in range(n_bins))
+    hist = wide.selectExpr("part_id", f"stack({n_bins}, {stack}) as (bin_id, c)")
+    out = hist.groupBy("part_id").applyInPandas(
+        _drift_kernel(ref, col_name, ks_thr, psi_thr),
+        schema="constraint_id string, part_id int, status string, rows_scanned long, violation_count long",
+    )
+    return out.withColumn("sample_violations", F.array().cast("array<string>"))
+
+
+def run_suite_fused(
+    spark: SparkSession,
+    docs: DataFrame,
+    catalog: DataFrame,
+    baseline: DataFrame,
+    part_col: str = "part_id",
+    stats_lo: float = 1,
+    stats_hi: float = 64,
+    ks_threshold: float = 0.15,
+    psi_threshold: float = 0.2,
+) -> DataFrame:
+    """The DEFAULT_SUITE's verdicts in three scans. Returns the union of
+    verdict rows (same CHECK_OUTPUT_COLS shape as the modular runner)."""
+    bpd = _baseline_pd(baseline)
+    lo_ns, w_ns, nb_ns = _edges_pd(bpd, "n_spans")
+    lo_tl, w_tl, nb_tl = _edges_pd(bpd, "text_len")
+    ref_ns = _ref_vector_pd(bpd, "n_spans", nb_ns)
+    ref_tl = _ref_vector_pd(bpd, "text_len", nb_tl)
+
+    # ---- Pass A: one doc-level hash-agg --------------------------------
+    n_spans = F.when(F.col("spans").isNull(), F.lit(None).cast("int")).otherwise(F.size("spans"))
+    d = docs.select(F.col(part_col).alias("part_id"), F.col("doc_id"), n_spans.alias("n_spans"))
+    ns_null = F.col("n_spans").isNull()
+    ns_oob = (F.col("n_spans") < stats_lo) | (F.col("n_spans") > stats_hi)
+    bin_ns = _bin(F.col("n_spans"), lo_ns, w_ns, nb_ns)
+    aggs = [
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(ns_null.cast("long")).alias("null_spans"),
+        sample_col(F.col("doc_id"), ns_null).alias("null_samples"),
+        F.sum(ns_oob.cast("long")).alias("ns_oob"),
+        sample_col(F.col("doc_id"), ns_oob | ns_null).alias("ns_samples"),
+    ] + [
+        F.sum(F.when(~ns_null & (bin_ns == b), 1).otherwise(0)).alias(f"h_ns_{b}")
+        for b in range(nb_ns)
+    ]
+    # n_parts rows only — persist so the four consumers (schema, stats,
+    # drift, ref's rows_scanned, uniqueness verdict) share ONE computation
+    # of the pass instead of re-expanding the scan subtree each
+    wide_a = d.groupBy("part_id").agg(*aggs).persist()
+
+    schema_v = wide_a.select(
+        F.lit("schema_assert").alias("constraint_id"),
+        "part_id",
+        F.when(F.col("null_spans") > 0, F.lit(FAIL)).otherwise(F.lit(PASS)).alias("status"),
+        F.col("rows").alias("rows_scanned"),
+        F.col("null_spans").cast("long").alias("violation_count"),
+        F.col("null_samples").alias("sample_violations"),
+    )
+    stats_viol = F.col("ns_oob") + F.col("null_spans")  # max_null_rate=0.0
+    stats_v = wide_a.select(
+        F.lit("stats:n_spans").alias("constraint_id"),
+        "part_id",
+        F.when(stats_viol > 0, F.lit(FAIL)).otherwise(F.lit(PASS)).alias("status"),
+        F.col("rows").alias("rows_scanned"),
+        stats_viol.cast("long").alias("violation_count"),
+        F.col("ns_samples").alias("sample_violations"),
+    )
+    drift_ns_v = _hist_verdicts(
+        wide_a, "h_ns_", nb_ns, ref_ns, "n_spans", ks_threshold, psi_threshold
+    )
+
+    # ---- Pass B: one span-level pass (explode shared by tl-drift + ref) -
+    ex = docs.select(
+        F.col(part_col).alias("part_id"), F.explode("spans").alias("s")
+    ).select(
+        "part_id",
+        F.col("s.kind").alias("kind"),
+        F.when(F.col("s.kind") == "text", F.length("s.text")).alias("tl"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+    cat = F.broadcast(catalog.select("media_ref", F.lit(1).alias("present")))
+    exj = ex.join(cat, "media_ref", "left")
+    orphan = (F.col("kind") != "text") & F.col("present").isNull()
+    bin_tl = _bin(F.col("tl"), lo_tl, w_tl, nb_tl)
+    aggs_b = [
+        F.sum(orphan.cast("long")).alias("orphans"),
+        sample_col(F.col("media_ref"), orphan).alias("orphan_samples"),
+    ] + [
+        F.sum(F.when(F.col("tl").isNotNull() & (bin_tl == b), 1).otherwise(0)).alias(f"h_tl_{b}")
+        for b in range(nb_tl)
+    ]
+    wide_b = exj.groupBy("part_id").agg(*aggs_b).persist()
+
+    ref_v = (
+        wide_b.join(wide_a.select("part_id", "rows"), "part_id")
+        .select(
+            F.lit("ref:media_ref").alias("constraint_id"),
+            "part_id",
+            F.when(F.col("orphans") > 0, F.lit(FAIL)).otherwise(F.lit(PASS)).alias("status"),
+            F.col("rows").alias("rows_scanned"),
+            F.col("orphans").cast("long").alias("violation_count"),
+            F.col("orphan_samples").alias("sample_violations"),
+        )
+    )
+    drift_tl_v = _hist_verdicts(
+        wide_b, "h_tl_", nb_tl, ref_tl, "text_len", ks_threshold, psi_threshold
+    )
+
+    # ---- Pass C: uniqueness (own shuffle key, cannot fuse) --------------
+    # two scans (salted dup agg + join-back for partition attribution);
+    # per-partition row counts reuse Pass A instead of a third scan
+    from sat_val_framework_spark.operators.uniqueness import duplicate_keys
+
+    dups = duplicate_keys(docs, "doc_id")
+    viol_rows = docs.join(dups, "doc_id", "inner").select(
+        F.col(part_col).alias("part_id"), F.col("doc_id").alias("violation_key")
+    )
+    viol_agg = viol_rows.groupBy("part_id").agg(
+        F.count(F.lit(1)).alias("violation_count"),
+        sample_col(F.col("violation_key"), F.lit(True)).alias("sample_violations"),
+    )
+    unique_v = (
+        wide_a.select("part_id", "rows")
+        .join(viol_agg, "part_id", "left")
+        .select(
+            F.lit("unique:doc_id").alias("constraint_id"),
+            "part_id",
+            F.when(F.coalesce(F.col("violation_count"), F.lit(0)) > 0, F.lit(FAIL))
+            .otherwise(F.lit(PASS))
+            .alias("status"),
+            F.col("rows").alias("rows_scanned"),
+            F.coalesce(F.col("violation_count"), F.lit(0)).cast("long").alias("violation_count"),
+            F.coalesce(F.col("sample_violations"), F.array().cast("array<string>")).alias(
+                "sample_violations"
+            ),
+        )
+    )
+
+    return (
+        schema_v.unionByName(stats_v)
+        .unionByName(drift_ns_v)
+        .unionByName(ref_v)
+        .unionByName(drift_tl_v)
+        .unionByName(unique_v)
+    )

@@ -64,28 +64,6 @@ def baseline_edges(baseline: DataFrame, col_name: str) -> tuple[float, float, in
     return (lo0, width, len(rows))
 
 
-def _ks_psi(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Grouped-map kernel: one partition's binned histogram vs reference."""
-    pdf = pdf.sort_values("bin_id")
-    n = pdf["obs_count"].sum()
-    p = pdf["obs_count"] / max(n, 1)
-    q = pdf["ref_frac"]
-    ks = float((p.cumsum() - q.cumsum()).abs().max())
-    pc = p.clip(lower=_EPS)
-    qc = q.clip(lower=_EPS)
-    import numpy as np
-
-    psi = float(((pc - qc) * np.log(pc / qc)).sum())
-    return pd.DataFrame(
-        {
-            "part_id": [int(pdf["part_id"].iloc[0])],
-            "rows_scanned": [int(n)],
-            "ks": [ks],
-            "psi": [psi],
-        }
-    )
-
-
 def drift_scores(
     series: DataFrame,
     baseline: DataFrame,
@@ -93,19 +71,50 @@ def drift_scores(
     part_col: str = "part_id",
     value_col: str = "value",
 ) -> DataFrame:
-    """-> (part_id, rows_scanned, ks, psi), one row per partition."""
+    """-> (part_id, rows_scanned, ks, psi), one row per partition.
+
+    Plan shape: ONE scan -> hash-agg histogram -> one tiny shuffle keyed by
+    part_id -> grouped-map kernel. The reference histogram is a per-column
+    constant (n_bins doubles), so it ships to the kernel as a closure
+    instead of a join spine — an earlier spine-join formulation evaluated
+    the (expensive) histogram subtree twice and anti-scaled with cores.
+    """
+    import numpy as np
+
     edges = baseline_edges(baseline, col_name)
-    obs = histogram(series, edges, part_col, value_col)
-    ref = baseline.filter(F.col("col_name") == col_name).select("bin_id", "ref_frac")
-    # Right join on the broadcast bin spine so empty bins appear with count 0
-    # (KS cumulative sums need the full spine).
-    parts = obs.select("part_id").distinct()
-    spine = parts.crossJoin(F.broadcast(ref))
-    full = spine.join(obs, ["part_id", "bin_id"], "left").select(
-        "part_id", "bin_id", F.coalesce("obs_count", F.lit(0)).alias("obs_count"), "ref_frac"
+    n_bins = edges[2]
+    ref_rows = (
+        baseline.filter(F.col("col_name") == col_name)
+        .select("bin_id", "ref_frac")
+        .orderBy("bin_id")
+        .collect()
     )
-    return full.groupBy("part_id").applyInPandas(
-        _ks_psi, schema="part_id int, rows_scanned long, ks double, psi double"
+    ref = np.zeros(n_bins)
+    for r in ref_rows:
+        ref[r["bin_id"]] = r["ref_frac"]
+    ref_cum = ref.cumsum()
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros(n_bins)
+        counts[pdf["bin_id"].to_numpy()] = pdf["obs_count"].to_numpy()
+        n = counts.sum()
+        p = counts / max(n, 1)
+        ks = float(np.abs(p.cumsum() - ref_cum).max())
+        pc = np.clip(p, _EPS, None)
+        qc = np.clip(ref, _EPS, None)
+        psi = float(((pc - qc) * np.log(pc / qc)).sum())
+        return pd.DataFrame(
+            {
+                "part_id": [int(pdf["part_id"].iloc[0])],
+                "rows_scanned": [int(n)],
+                "ks": [ks],
+                "psi": [psi],
+            }
+        )
+
+    obs = histogram(series, edges, part_col, value_col)
+    return obs.groupBy("part_id").applyInPandas(
+        kernel, schema="part_id int, rows_scanned long, ks double, psi double"
     )
 
 

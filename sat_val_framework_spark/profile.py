@@ -21,9 +21,15 @@ def n_spans_series(docs: DataFrame, part_col: str = "part_id") -> DataFrame:
 
 
 def text_len_series(docs: DataFrame, part_col: str = "part_id") -> DataFrame:
-    """One row per text span: its character length."""
+    """One row per text span: its character length. Lengths are computed
+    inside the array BEFORE exploding so the explode fans out ints, not the
+    span strings themselves (less row churn on wide text)."""
+    lens = F.transform(
+        "spans",
+        lambda s: F.when(s["kind"] == "text", F.length(s["text"])),
+    )
     return (
-        docs.select(part_col, F.explode("spans").alias("span"))
-        .filter(F.col("span.kind") == "text")
-        .select(part_col, F.length("span.text").cast("double").alias("value"))
+        docs.select(part_col, F.explode(lens).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .select(part_col, F.col("v").cast("double").alias("value"))
     )

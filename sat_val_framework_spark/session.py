@@ -38,6 +38,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # finer input splits: keeps scan stages at >= cores tasks and lets
+        # the scheduler balance around size-skewed files
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
