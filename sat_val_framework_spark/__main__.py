@@ -1,0 +1,77 @@
+"""spark-submit entry point (north rule: packaged for spark-submit --py-files).
+
+Usage:
+    python tools/package.py                       # builds dist/sat_val_framework_spark.zip
+    spark-submit --py-files dist/sat_val_framework_spark.zip \
+        run_validation.py --docs <parquet> --checkpoint <dir> [--run-id r1] [--fused]
+
+or locally without a cluster:
+    python -m sat_val_framework_spark --docs <parquet> --checkpoint <dir>
+
+Runs the DEFAULT_SUITE over the given documents table, checkpointing
+per-partition verdicts; re-running the same --run-id resumes from the
+checkpoint (left-anti join on completed pairs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="sat_val_framework_spark")
+    p.add_argument("--docs", required=True, help="documents parquet path")
+    p.add_argument("--checkpoint", required=True, help="metrics/verdicts table dir")
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--master", default=None, help="override master (default from env)")
+    p.add_argument("--fused", action="store_true", help="fused 3-scan execution (no resume)")
+    p.add_argument("--n-media", type=int, default=None, help="media catalog size (fixture)")
+    args = p.parse_args(argv)
+
+    from sat_val_framework_spark.fixtures import (
+        N_MEDIA,
+        baseline_stats_df,
+        media_catalog_df,
+    )
+    from sat_val_framework_spark.session import get_spark
+
+    spark = get_spark(app_name="sat_val_qc", master=args.master)
+    docs = spark.read.parquet(args.docs)
+    catalog = media_catalog_df(spark, args.n_media or N_MEDIA)
+    baseline = baseline_stats_df(spark)
+
+    if args.fused:
+        from sat_val_framework_spark.checkpoint import append_verdicts
+        from sat_val_framework_spark.fused import run_suite_fused
+        from sat_val_framework_spark.verdicts import finalize_verdicts
+
+        verdicts = finalize_verdicts(
+            run_suite_fused(spark, docs, catalog, baseline), run_id=args.run_id or "fused"
+        )
+        append_verdicts(verdicts, args.checkpoint)
+        n = spark.read.parquet(args.checkpoint).count()
+        print(f"fused run complete; checkpoint rows now {n}")
+    else:
+        from sat_val_framework_spark.runner import DEFAULT_SUITE, run_suite
+
+        res = run_suite(
+            spark,
+            docs,
+            DEFAULT_SUITE,
+            catalog=catalog,
+            baseline=baseline,
+            checkpoint_path=args.checkpoint,
+            run_id=args.run_id,
+        )
+        emitted = res.verdicts.count()
+        print(
+            f"run {res.run_id}: emitted {emitted} verdicts, "
+            f"skipped {len(res.skipped)} completed (constraint, partition) pairs"
+        )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

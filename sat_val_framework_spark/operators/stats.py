@@ -31,6 +31,19 @@ class StatSpec:
     quantiles: tuple[float, ...] = (0.5, 0.9, 0.99)
 
 
+def _norm_type(dt: T.DataType) -> T.DataType:
+    """Strip nullability recursively: parquet round-trips force nullable=True
+    everywhere, which is storage noise, not a schema violation (NOT NULL is
+    checked as data, below)."""
+    if isinstance(dt, T.StructType):
+        return T.StructType([T.StructField(f.name, _norm_type(f.dataType), True) for f in dt.fields])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_norm_type(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_norm_type(dt.keyType), _norm_type(dt.valueType), True)
+    return dt
+
+
 def schema_assert(
     df: DataFrame,
     expected: T.StructType,
@@ -41,7 +54,8 @@ def schema_assert(
     """Structural schema equality (driver-side, free) + NOT NULL invariants
     (executor-side counts). Contract: implement.py:106-107 / :129-136."""
     schema_ok = [f.name for f in df.schema.fields] == [f.name for f in expected.fields] and all(
-        df.schema[f.name].dataType == expected[f.name].dataType for f in expected.fields
+        _norm_type(df.schema[f.name].dataType) == _norm_type(expected[f.name].dataType)
+        for f in expected.fields
     )
     null_viol = None
     for c in not_null:
