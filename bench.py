@@ -27,7 +27,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
 CACHE = os.path.join(REPO, ".cache", "bench")
 
 HEADLINE = [
@@ -160,6 +160,7 @@ def main() -> int:
 
     spark = make_spark(f"local[{CPUS}]")
     queries = run_headline(spark, SF_DIR)
+    suite_throughput(spark, min(BENCH_DOCS, 200_000))  # JIT/Python-worker warmup
     suite = suite_throughput(spark, BENCH_DOCS)
     total = round(sum(queries.values()) + suite["suite_sec"], 3)
     print(
