@@ -366,6 +366,85 @@ def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): each event matched to the
+    customer's latest order at-or-before the event time, via the tagged
+    union + last(ignorenulls) window composition (functions/asof.py)."""
+    from sat_val_framework_spark.functions.asof import as_of_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    # unique (key, ts) on the right so ties are deterministic in both engines
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate").cast("timestamp").alias("odate"))
+        .agg(F.max("o_orderkey").alias("okey"))
+    )
+    out = as_of_join(e, o, key="user_id", left_ts="ts", right_ts="odate",
+                     payload_cols=["okey", "odate"])
+    return out.select(
+        "event_id", "user_id",
+        F.col("asof_okey").alias("asof_orderkey"),
+        F.col("asof_odate").alias("asof_orderdate"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) via lag + cumulative-sum windows;
+    output one row per session."""
+    from sat_val_framework_spark.functions.asof import sessionize
+
+    e = _t(spark, sf_dir, "events").select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    s = sessionize(e, key="user_id", ts="ts", gap_seconds=1800)
+    return s.groupBy(F.col("user_id"), F.col("session_seq")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (subtotals + grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup(F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls")).agg(
+        _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per user-bucket sum(value) per event type as columns."""
+    e = _t(spark, sf_dir, "events")
+    out = (
+        e.groupBy((F.col("user_id") % 10).alias("bucket"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum("value"))
+    )
+    return out.select(
+        "bucket", *[_r6(F.col(t)).alias(f"sum_{t}") for t in _EVENT_TYPES]
+    )
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (all-pairs exact at this scale;
+    the sign-bucket LSH variant is the 100 TB path — see ann_bucketed)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(similarity.cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+    )
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic OLAP shape: TPC-H Q1-style wide aggregation."""
     li = _t(spark, sf_dir, "lineitem")
@@ -435,6 +514,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window": q_streaming_window,
         "tpch_q1": q_tpch_q1,
         "topk_per_group": q_topk_per_group,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "rollup_revenue": q_rollup_revenue,
+        "pivot_events": q_pivot_events,
+        "dedup_embedding": q_dedup_embedding,
     }
 
 
@@ -718,6 +802,52 @@ def oracle_sql() -> dict[str, str]:
                 SELECT nation, cust, revenue,
                        row_number() OVER (PARTITION BY nation ORDER BY revenue DESC, cust) AS rnk
                 FROM rev) WHERE rnk <= 3
+        """,
+        "asof_join": """
+            WITH r AS (SELECT o_custkey AS k, o_orderdate AS ts, max(o_orderkey) AS okey
+                       FROM orders GROUP BY 1, 2)
+            SELECT e.event_id, e.user_id,
+                   (SELECT r.okey FROM r WHERE r.k = e.user_id AND r.ts <= e.ts
+                    ORDER BY r.ts DESC LIMIT 1) AS asof_orderkey,
+                   (SELECT r.ts FROM r WHERE r.k = e.user_id AND r.ts <= e.ts
+                    ORDER BY r.ts DESC LIMIT 1) AS asof_orderdate
+            FROM events e
+        """,
+        "sessionize": """
+            WITH x AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                              OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events),
+            y AS (SELECT user_id, ts,
+                         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS session_seq
+                  FROM x)
+            SELECT user_id, session_seq, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM y GROUP BY user_id, session_seq
+        """,
+        "rollup_revenue": """
+            SELECT l_returnflag AS rf, l_linestatus AS ls,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "pivot_events": """
+            SELECT user_id % 10 AS bucket,
+                   round(sum(value) FILTER (event_type = 'click'), 6) AS sum_click,
+                   round(sum(value) FILTER (event_type = 'error'), 6) AS sum_error,
+                   round(sum(value) FILTER (event_type = 'purchase'), 6) AS sum_purchase,
+                   round(sum(value) FILTER (event_type = 'signup'), 6) AS sum_signup,
+                   round(sum(value) FILTER (event_type = 'view'), 6) AS sum_view
+            FROM events GROUP BY 1
+        """,
+        "dedup_embedding": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
         """,
         # ann_bucketed, multimodal_features, frame_plan, drift_ks_pandas:
         # intentionally no oracle (LSH bucketing with 1-based vs 0-based

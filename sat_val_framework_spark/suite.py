@@ -40,7 +40,9 @@ class Check:
 
     @property
     def constraint_id(self) -> str:
-        if self.kind in ("schema_assert", "span_seq") or self.column is None:
+        if self.kind == "span_seq":
+            return "span_seq_eq"  # FIXTURES.md §4 id; MUST match the operator's
+        if self.kind == "schema_assert" or self.column is None:
             return self.kind
         # leaf name: 'spans.media_ref' -> 'ref:media_ref' (FIXTURES.md §4 ids)
         return f"{self.kind}:{self.column.split('.')[-1]}"

@@ -1,0 +1,77 @@
+"""As-of join vs pandas merge_asof; sessionization vs a plain-Python oracle."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from sat_val_framework_spark.functions.asof import as_of_join, sessionize
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left_rows = [
+        (i, i % 3, _ts(m)) for i, m in enumerate([5, 12, 31, 44, 58, 70, 71, 90, 130, 200])
+    ]
+    right_rows = [
+        (k, _ts(m), 100 * k + m) for k in range(3) for m in (0, 30, 60, 120)
+    ]
+    left = spark.createDataFrame(left_rows, "event_id long, k long, ts timestamp")
+    right = spark.createDataFrame(right_rows, "k long, rts timestamp, payload long")
+    return left, right, left_rows, right_rows
+
+
+def test_asof_matches_pandas_merge_asof(frames):
+    left, right, left_rows, right_rows = frames
+    got = {
+        r["event_id"]: r["asof_payload"]
+        for r in as_of_join(left, right, "k", "ts", "rts", ["payload"]).collect()
+    }
+    lp = pd.DataFrame(left_rows, columns=["event_id", "k", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(right_rows, columns=["k", "rts", "payload"]).sort_values("rts")
+    exp = pd.merge_asof(lp, rp, left_on="ts", right_on="rts", by="k", direction="backward")
+    for r in exp.itertuples():
+        want = None if pd.isna(r.payload) else int(r.payload)
+        assert got[r.event_id] == want, r
+
+
+def test_asof_no_match_is_null(spark, frames):
+    left, right, *_ = frames
+    early = spark.createDataFrame([(99, 0, _ts(-10))], "event_id long, k long, ts timestamp")
+    out = as_of_join(early, right, "k", "ts", "rts", ["payload"]).collect()
+    assert out[0]["asof_payload"] is None
+
+
+def test_asof_tie_matches_equal_timestamp(spark, frames):
+    _, right, *_ = frames
+    at_exact = spark.createDataFrame([(7, 1, _ts(30))], "event_id long, k long, ts timestamp")
+    out = as_of_join(at_exact, right, "k", "ts", "rts", ["payload"]).collect()
+    assert out[0]["asof_payload"] == 100 * 1 + 30  # right_ts == left_ts matches
+
+
+def test_sessionize_gap_boundaries(spark):
+    rows = [(1, _ts(m)) for m in (0, 10, 20, 80, 85, 200)] + [(2, _ts(0)), (2, _ts(100))]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = sessionize(ev, "user_id", "ts", gap_seconds=1800).collect()
+    sess = {(r["user_id"], r["ts"]): r["session_seq"] for r in out}
+    # user 1: 0/10/20 in s1 (gaps 10min), 80/85 in s2 (gap 60min), 200 in s3
+    assert [sess[(1, _ts(m))] for m in (0, 10, 20, 80, 85, 200)] == [1, 1, 1, 2, 2, 3]
+    assert [sess[(2, _ts(m))] for m in (0, 100)] == [1, 2]
+    # exactly-at-gap boundary does NOT start a new session (strict >)
+    ev2 = spark.createDataFrame([(3, _ts(0)), (3, _ts(30))], "user_id long, ts timestamp")
+    out2 = {r["ts"]: r["session_seq"] for r in sessionize(ev2, "user_id", "ts", 1800).collect()}
+    assert out2[_ts(30)] == 1
+
+
+def test_sessionize_deterministic_across_partitionings(spark):
+    rows = [(u, _ts(m)) for u in range(5) for m in range(0, 300, 7)]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    a = sorted(map(tuple, sessionize(ev.coalesce(1), "user_id", "ts").collect()))
+    b = sorted(map(tuple, sessionize(ev.repartition(8), "user_id", "ts").collect()))
+    assert a == b

@@ -70,6 +70,17 @@ def test_idempotent_reads_dedupe_retried_appends(spark, docs, tmp_path):
     assert deduped.count() == n
 
 
+def test_runner_span_seq_check(spark, docs, tmp_path):
+    """The runner's span_seq branch: identical expected docs -> all PASS."""
+    suite = CheckSuite([Check("span_seq")])
+    res = run_suite(spark, docs, suite, expected_docs=docs)
+    rows = res.verdicts.collect()
+    assert rows and all(r["status"] == "PASS" for r in rows)
+    # id must equal the operator's emitted id or resume re-runs forever
+    assert all(r["constraint_id"] == "span_seq_eq" for r in rows)
+    assert CheckSuite([Check("span_seq")]).checks[0].constraint_id == "span_seq_eq"
+
+
 def test_pending_parts_left_anti(spark):
     worklist = spark.range(10).select(F.col("id").cast("int").alias("part_id"))
     done = spark.range(4).select(F.col("id").cast("int").alias("part_id"))
