@@ -126,7 +126,7 @@ def run_suite(
         skipped.extend(f"{cid}:{p}" for cid in cids for p in sorted(done))
         return df.filter(F.col(part_col).isin(ids)), True
 
-    def emit(constraint_id: str, check_out: DataFrame, params_json: str, t0: float) -> None:
+    def emit(check_out: DataFrame, params_json: str, t0: float) -> None:
         v = finalize_verdicts(
             check_out, run_id, params_json, snapshot_id, latency_ms=(time.time() - t0) * 1000.0
         )
@@ -145,7 +145,7 @@ def run_suite(
             out = schema_assert(
                 scoped, DOCUMENTS_SCHEMA, part_col, tuple(c.params.get("not_null", ()))
             )
-            emit(c.constraint_id, out, c.params_json, t0)
+            emit(out, c.params_json, t0)
         elif c.kind == "stats":
             scoped, todo = pending_filter(c.constraint_id, profile.with_n_spans(docs))
             if not todo:
@@ -158,7 +158,7 @@ def run_suite(
                 hi=c.params.get("hi"),
             )
             out, _metrics = column_stats(scoped, [spec], part_col)
-            emit(c.constraint_id, out, c.params_json, t0)
+            emit(out, c.params_json, t0)
         elif c.kind == "unique":
             # uniqueness is global: a resumed run must still scan all rows to
             # find cross-partition duplicates, then keep only pending verdicts
@@ -167,7 +167,7 @@ def run_suite(
             if not todo:
                 skipped.append(c.constraint_id)
                 continue
-            emit(c.constraint_id, scoped.withColumnRenamed(part_col, "part_id"), c.params_json, t0)
+            emit(scoped.withColumnRenamed(part_col, "part_id"), c.params_json, t0)
         elif c.kind == "ref":
             if catalog is None:
                 raise ValueError("ref check requires catalog=")
@@ -182,7 +182,7 @@ def run_suite(
                 strategy=c.params.get("strategy", "broadcast"),
                 constraint_id=c.constraint_id,
             )
-            emit(c.constraint_id, out, c.params_json, t0)
+            emit(out, c.params_json, t0)
         elif c.kind in ("drift_ks", "drift_psi"):
             if baseline is None:
                 raise ValueError("drift checks require baseline=")
@@ -204,7 +204,7 @@ def run_suite(
                 psi_threshold=thresholds.get("drift_psi", 0.2),
                 part_col=part_col,
             )
-            emit(f"drift:{c.column}", out, c.params_json, t0)
+            emit(out, c.params_json, t0)
         elif c.kind == "span_seq":
             if expected_docs is None:
                 raise ValueError("span_seq check requires expected_docs=")
@@ -213,7 +213,7 @@ def run_suite(
                 skipped.append(c.constraint_id)
                 continue
             out, _mm = span_seq_check(scoped, expected_docs, part_col)
-            emit(c.constraint_id, out, c.params_json, t0)
+            emit(out, c.params_json, t0)
         else:  # pragma: no cover - suite.validate blocks unknown kinds
             raise ValueError(f"unhandled check kind {c.kind}")
 
