@@ -291,6 +291,13 @@ def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.bucketed_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_bits=8)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (inverted-list ANN; rows-only check — the
+    exact twin is ann_topk). See similarity.ivf_topk for the scale story."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=16, n_probe=3)
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_stats(_t(spark, sf_dir, "embeddings"))
 
@@ -445,6 +452,30 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data gate: keep documents that pass quality,
+    language, AND exact-dedup (keep the lowest doc_id of each digest group)
+    — the B10 whole-document rejection shape applied to a real pipeline."""
+    d = _t_wide(spark, sf_dir, "documents")
+    q = text.quality_score(d).select("doc_id", "quality_score")
+    l = text.lang_id(d).select("doc_id", "lang_pred")
+    # exact-dedup keeper: lowest doc_id per content digest
+    keeper = (
+        d.select("doc_id", F.md5("text").alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        d.select("doc_id")
+        .join(q, "doc_id")
+        .join(l, "doc_id")
+        .join(keeper, "doc_id", "left_semi")
+        .filter((F.col("quality_score") >= 0.4) & (F.col("lang_pred") == "en"))
+        .select("doc_id", F.col("quality_score"))
+    )
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic OLAP shape: TPC-H Q1-style wide aggregation."""
     li = _t(spark, sf_dir, "lineitem")
@@ -519,6 +550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "pivot_events": q_pivot_events,
         "dedup_embedding": q_dedup_embedding,
+        "training_filter": q_training_filter,
+        "ann_ivf": q_ann_ivf,
     }
 
 
@@ -842,6 +875,30 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value) FILTER (event_type = 'signup'), 6) AS sum_signup,
                    round(sum(value) FILTER (event_type = 'view'), 6) AS sum_view
             FROM events GROUP BY 1
+        """,
+        "training_filter": f"""
+            WITH q AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       len({_TOKS}) AS n_tokens,
+                       len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+                       len(regexp_extract_all(lower(text), '{_STOP_SQL}')) AS n_stop
+                FROM documents),
+            scored AS (
+                SELECT doc_id,
+                       round(least((CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END) * 2.0, 1.0) * 0.5
+                             + (CASE WHEN n_tokens > 0 AND n_chars * 1.0 / n_tokens >= 3.0
+                                      AND n_chars * 1.0 / n_tokens <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.3
+                             + least((CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END) * 20.0, 1.0) * 0.2,
+                             6) AS quality_score,
+                       CASE WHEN (CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END) >= 0.05
+                            THEN 'en' ELSE 'unk' END AS lang_pred
+                FROM q),
+            keeper AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+            SELECT s.doc_id, s.quality_score
+            FROM scored s
+            WHERE s.quality_score >= 0.4 AND s.lang_pred = 'en'
+              AND s.doc_id IN (SELECT doc_id FROM keeper)
         """,
         "dedup_embedding": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -126,6 +126,71 @@ def bucketed_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are assigned to
+    their nearest centroid cell; a query scores only the vectors in its
+    ``n_probe`` nearest cells, via an equi-join on cell id.
+
+    Centroids here are the first ``n_centroids`` corpus vectors (seed-free
+    and deterministic); production trains them offline (k-means) and ships
+    them exactly like this — as literal arrays baked into the plan, so cell
+    assignment is a JVM-side expression with NO join against a centroid
+    table. The inverted lists are the join partitioning at 100 TB scale
+    (bucket the table by cell id to make the probe join shuffle-free).
+    """
+    cents = [
+        list(r[vec_col])
+        for r in corpus.orderBy(id_col).limit(n_centroids).collect()
+    ]
+
+    def dot_lit(vec: Column, c: list[float]) -> Column:
+        # fold over the literal centroid: one multiply-add chain per dim
+        return sum((vec[i].cast("double") * float(c[i]) for i in range(len(c))), F.lit(0.0))
+
+    def cell_scores(vec: Column) -> Column:
+        return F.array(*[dot_lit(vec, c) for c in cents])
+
+    def top_cells(vec: Column, n: int) -> Column:
+        """indices of the n largest centroid dots (descending)."""
+        scored = F.transform(
+            cell_scores(vec),
+            lambda s, i: F.struct(s.alias("s"), i.alias("cell")),
+        )
+        return F.slice(F.reverse(F.array_sort(scored)), 1, n).getField("cell")
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        top_cells(F.col(vec_col), 1)[0].alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.explode(top_cells(F.col(vec_col), n_probe)).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("query_vec"), F.col("vec")).alias("cos_sim"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))  # dedupe multi-probe hits
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
 def embedding_stats(
     emb: DataFrame, group_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

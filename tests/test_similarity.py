@@ -58,6 +58,35 @@ def test_bucketed_is_subset_of_exact_and_same_bucket_only(emb):
         assert exact[(r["query_id"], r["neighbor_id"])] == r["cos_sim"]
 
 
+def test_ivf_scores_subset_of_exact(emb):
+    df, _ = emb
+    qs = df.filter(F.col("vec_id") < 5)
+    ivf = similarity.ivf_topk(df, qs, k=10, n_centroids=8, n_probe=2).collect()
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in similarity.brute_force_topk(df, qs, k=N).collect()
+    }
+    assert ivf, "ivf returned nothing"
+    for r in ivf:
+        # every IVF hit carries the exact cosine score
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cos_sim"]
+
+
+def test_ivf_full_probe_equals_exact(emb):
+    """Probing every cell makes IVF exhaustive -> identical to brute force."""
+    df, _ = emb
+    qs = df.filter(F.col("vec_id") < 3)
+    ivf = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in similarity.ivf_topk(df, qs, k=5, n_centroids=4, n_probe=4).collect()
+    }
+    exact = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in similarity.brute_force_topk(df, qs, k=5).collect()
+    }
+    assert ivf == exact
+
+
 def test_embedding_stats(emb):
     df, vecs = emb
     got = {r["grp"]: (r["n_vecs"], r["avg_norm"]) for r in similarity.embedding_stats(df).collect()}
