@@ -79,6 +79,21 @@ def test_simhash_properties(corpus):
     assert ham(sh[1], sh[3]) <= ham(sh[1], sh[6]) + 2  # near-dup no farther than unrelated (slack for 16 bits)
 
 
+def test_xxhash_variant_same_dup_structure(corpus):
+    """The production hash path must preserve the MinHash property even
+    though the signature values differ from the md5 path."""
+    sigs = {r["doc_id"]: r["minhash"] for r in dedup.minhash_signature(corpus, hash_fn="xxhash64").collect()}
+    assert sigs[1] == sigs[2]
+    share_13 = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    share_16 = sum(a == b for a, b in zip(sigs[1], sigs[6]))
+    assert share_13 > share_16
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(dedup.minhash_signature(corpus, hash_fn="xxhash64")).collect()
+    }
+    assert (1, 2) in pairs
+
+
 def test_deterministic_across_partitionings(spark, corpus):
     one = dedup.minhash_signature(corpus.coalesce(1)).collect()
     many = dedup.minhash_signature(corpus.repartition(8)).collect()
