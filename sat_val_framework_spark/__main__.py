@@ -24,6 +24,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--docs", required=True, help="documents parquet path")
     p.add_argument("--checkpoint", required=True, help="metrics/verdicts table dir")
     p.add_argument("--run-id", default=None)
+    p.add_argument("--violations", default=None, help="violations table dir (full rows)")
     p.add_argument("--master", default=None, help="override master (default from env)")
     p.add_argument("--fused", action="store_true", help="fused 3-scan execution (no resume)")
     p.add_argument("--n-media", type=int, default=None, help="media catalog size (fixture)")
@@ -62,6 +63,7 @@ def main(argv: list[str] | None = None) -> int:
             catalog=catalog,
             baseline=baseline,
             checkpoint_path=args.checkpoint,
+            violations_path=args.violations,
             run_id=args.run_id,
         )
         emitted = res.verdicts.count()

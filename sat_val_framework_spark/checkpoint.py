@@ -16,6 +16,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from sat_val_framework_spark.verdicts import VERDICT_SCHEMA
 
@@ -32,6 +33,49 @@ def read_checkpoint(spark: SparkSession, path: str) -> DataFrame:
     raw = spark.read.schema(VERDICT_SCHEMA).parquet(path)
     w = Window.partitionBy("run_id", "constraint_id", "part_id").orderBy(F.col("ts").desc())
     return raw.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+VIOLATIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("constraint_id", T.StringType(), False),
+        T.StructField("part_id", T.IntegerType(), True),
+        T.StructField("violation_key", T.StringType(), True),
+        T.StructField("detail_json", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+
+def append_violations(
+    violations: DataFrame,
+    path: str,
+    run_id: str,
+    constraint_id: str,
+    key_col: str,
+    part_col: str = "part_id",
+) -> None:
+    """Persist full violation rows (not just the 10 samples on the verdict)
+    to a parquet violations table. ``detail_json`` carries every other
+    column of the violation frame for ad-hoc triage."""
+    detail_cols = [c for c in violations.columns if c not in (key_col, part_col)]
+    out = violations.select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(constraint_id).alias("constraint_id"),
+        (F.col(part_col) if part_col in violations.columns else F.lit(None)).cast("int").alias("part_id"),
+        F.col(key_col).cast("string").alias("violation_key"),
+        F.to_json(F.struct(*[F.col(c) for c in detail_cols])).alias("detail_json")
+        if detail_cols
+        else F.lit("{}").alias("detail_json"),
+        F.current_timestamp().alias("ts"),
+    )
+    out.write.mode("append").parquet(path)
+
+
+def read_violations(spark: SparkSession, path: str) -> DataFrame:
+    if not os.path.exists(path):
+        return spark.createDataFrame([], VIOLATIONS_SCHEMA)
+    return spark.read.schema(VIOLATIONS_SCHEMA).parquet(path)
 
 
 def completed_parts(checkpoint: DataFrame, run_id: str, constraint_id: str) -> DataFrame:

@@ -70,6 +70,7 @@ def run_suite(
     baseline: DataFrame | None = None,
     expected_docs: DataFrame | None = None,
     checkpoint_path: str | None = None,
+    violations_path: str | None = None,
     run_id: str | None = None,
     snapshot_id: str = "",
     part_col: str = "part_id",
@@ -162,7 +163,11 @@ def run_suite(
         elif c.kind == "unique":
             # uniqueness is global: a resumed run must still scan all rows to
             # find cross-partition duplicates, then keep only pending verdicts
-            out, _viol = uniqueness_check(docs, c.column, part_col)
+            out, viol = uniqueness_check(docs, c.column, part_col)
+            if violations_path:
+                ckpt.append_violations(
+                    viol, violations_path, run_id, c.constraint_id, key_col="violation_key"
+                )
             scoped, todo = pending_filter(c.constraint_id, out.withColumnRenamed("part_id", part_col))
             if not todo:
                 skipped.append(c.constraint_id)
@@ -175,13 +180,17 @@ def run_suite(
             if not todo:
                 skipped.append(c.constraint_id)
                 continue
-            out, _viol = referential_check(
+            out, viol = referential_check(
                 scoped,
                 catalog,
                 part_col,
                 strategy=c.params.get("strategy", "broadcast"),
                 constraint_id=c.constraint_id,
             )
+            if violations_path:
+                ckpt.append_violations(
+                    viol, violations_path, run_id, c.constraint_id, key_col="media_ref"
+                )
             emit(out, c.params_json, t0)
         elif c.kind in ("drift_ks", "drift_psi"):
             if baseline is None:

@@ -70,6 +70,27 @@ def test_idempotent_reads_dedupe_retried_appends(spark, docs, tmp_path):
     assert deduped.count() == n
 
 
+def test_violations_sink_persists_full_rows(spark, docs, catalog, tmp_path):
+    """The violations table carries EVERY violating row (not just the 10
+    verdict samples), keyed for triage."""
+    vpath = str(tmp_path / "violations")
+    suite = CheckSuite(
+        [Check("unique", "doc_id"),
+         Check("ref", "spans.media_ref", {"dim_table_alias": "cat", "strategy": "broadcast"})]
+    )
+    res = run_suite(spark, docs, suite, catalog=catalog, violations_path=vpath, run_id="v1")
+    stored = ckpt.read_violations(spark, vpath)
+    by_cid = {r["constraint_id"]: r["cnt"] for r in
+              stored.groupBy("constraint_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    verd = {r["constraint_id"]: r["v"] for r in
+            res.verdicts.groupBy("constraint_id").agg(F.sum("violation_count").alias("v")).collect()}
+    assert by_cid["unique:doc_id"] == verd["unique:doc_id"] > 0
+    assert by_cid["ref:media_ref"] == verd["ref:media_ref"] > 0
+    sample = stored.filter(F.col("constraint_id") == "ref:media_ref").first()
+    assert sample["violation_key"].startswith("m-missing-")
+    assert sample["run_id"] == "v1" and sample["part_id"] is not None
+
+
 def test_runner_span_seq_check(spark, docs, tmp_path):
     """The runner's span_seq branch: identical expected docs -> all PASS."""
     suite = CheckSuite([Check("span_seq")])
