@@ -348,14 +348,17 @@ def q_drift_ks_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: tumbling 1-hour windowed aggregation over the
     events table driven to completion with a memory sink."""
+    # parquet stores TIMESTAMP_NTZ; watermarks need TIMESTAMP. Pin the
+    # session TZ to UTC for the duration so the NTZ->TS cast is wall-clock
+    # preserving regardless of the caller's session config (restored below).
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e_schema = _t(spark, sf_dir, "events").schema
     stream = (
         spark.readStream.schema(e_schema)
         # file stream sources want a directory; select just the events file
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        # parquet stores TIMESTAMP_NTZ; watermarks need TIMESTAMP (session
-        # TZ is pinned to UTC so the wall-clock values are unchanged)
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     agg = (
@@ -368,8 +371,11 @@ def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = "stream_out_" + re.sub(r"\W", "_", sf_dir)
     q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
     return spark.table(name)
 
 

@@ -102,6 +102,16 @@ def test_runner_span_seq_check(spark, docs, tmp_path):
     assert CheckSuite([Check("span_seq")]).checks[0].constraint_id == "span_seq_eq"
 
 
+def test_discover_worklist_persists_and_reloads(spark, docs, oracle, tmp_path):
+    path = str(tmp_path / "worklist")
+    wl = ckpt.discover_worklist(docs, path)
+    got = {r["part_id"]: r["n_docs"] for r in wl.collect()}
+    assert got == oracle["rows_per_part"]
+    # rediscovery is idempotent
+    wl2 = ckpt.discover_worklist(docs, path)
+    assert {r["part_id"]: r["n_docs"] for r in wl2.collect()} == got
+
+
 def test_pending_parts_left_anti(spark):
     worklist = spark.range(10).select(F.col("id").cast("int").alias("part_id"))
     done = spark.range(4).select(F.col("id").cast("int").alias("part_id"))
