@@ -30,6 +30,7 @@ from sat_val_framework_spark.operators import (
     uniqueness_check,
 )
 from sat_val_framework_spark.operators.stats import StatSpec
+from sat_val_framework_spark.operators.subset import subset_check
 from sat_val_framework_spark.suite import Check, CheckSuite
 from sat_val_framework_spark.verdicts import finalize_verdicts
 
@@ -213,6 +214,19 @@ def run_suite(
                 psi_threshold=thresholds.get("drift_psi", 0.2),
                 part_col=part_col,
             )
+            emit(out, c.params_json, t0)
+        elif c.kind == "subset":
+            scoped, todo = pending_filter(c.constraint_id, docs)
+            if not todo:
+                skipped.append(c.constraint_id)
+                continue
+            _surv, out, viol = subset_check(
+                scoped, c.params["predicate"], c.constraint_id, part_col
+            )
+            if violations_path:
+                ckpt.append_violations(
+                    viol, violations_path, run_id, c.constraint_id, key_col="violation_key"
+                )
             emit(out, c.params_json, t0)
         elif c.kind == "span_seq":
             if expected_docs is None:

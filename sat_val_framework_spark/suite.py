@@ -24,6 +24,7 @@ KINDS = frozenset(
         "drift_ks",       # B7
         "drift_psi",      # B8
         "span_seq",       # B9 canonical span-sequence equality
+        "subset",         # A14: parameterized predicate subsetter
     }
 )
 
@@ -101,6 +102,17 @@ class CheckSuite:
                     errors.append(
                         SuiteConfigError(f"{c.constraint_id}: column '{c.column}' not in schema")
                     )
+            if c.kind == "subset":
+                pred = c.params.get("predicate")
+                if not pred or not isinstance(pred, str):
+                    errors.append(SuiteConfigError(f"{c.constraint_id}: params.predicate (SQL string) required"))
+                else:
+                    try:
+                        df.filter(pred).schema  # parse + resolve against df, no job
+                    except Exception as e:
+                        errors.append(
+                            SuiteConfigError(f"{c.constraint_id}: bad predicate {pred!r}: {e}")
+                        )
             if c.kind in ("drift_ks", "drift_psi"):
                 thr = c.params.get("threshold")
                 if thr is None or not isinstance(thr, (int, float)) or thr <= 0:
