@@ -385,11 +385,13 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     union + last(ignorenulls) window composition (functions/asof.py)."""
     from sat_val_framework_spark.functions.asof import as_of_join
 
-    e = _t(spark, sf_dir, "events").select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    # keep TIMESTAMP_NTZ end-to-end: values are then independent of the
+    # caller's session timezone (matches DuckDB's naive timestamps)
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     # unique (key, ts) on the right so ties are deterministic in both engines
     o = (
         _t(spark, sf_dir, "orders")
-        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate").cast("timestamp").alias("odate"))
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("odate"))
         .agg(F.max("o_orderkey").alias("okey"))
     )
     out = as_of_join(e, o, key="user_id", left_ts="ts", right_ts="odate",
@@ -406,7 +408,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     output one row per session."""
     from sat_val_framework_spark.functions.asof import sessionize
 
-    e = _t(spark, sf_dir, "events").select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")  # TIMESTAMP_NTZ, TZ-independent
     s = sessionize(e, key="user_id", ts="ts", gap_seconds=1800)
     return s.groupBy(F.col("user_id"), F.col("session_seq")).agg(
         F.count(F.lit(1)).alias("n_events"),

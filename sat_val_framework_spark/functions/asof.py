@@ -78,10 +78,10 @@ def sessionize(
     Returns events + (session_seq, session_id)."""
     w = Window.partitionBy(key).orderBy(ts)
     prev = F.lag(F.col(ts)).over(w)
-    new_session = (
-        prev.isNull()
-        | (F.col(ts).cast("long") - prev.cast("long") > gap_seconds)
-    ).cast("int")
+    # interval arithmetic works for TIMESTAMP and TIMESTAMP_NTZ alike and is
+    # session-timezone independent (epoch casts are not, for NTZ)
+    gap = F.expr(f"INTERVAL {int(gap_seconds)} SECONDS")
+    new_session = (prev.isNull() | (F.col(ts) - prev > gap)).cast("int")
     seq = F.sum(new_session).over(
         Window.partitionBy(key).orderBy(ts).rowsBetween(Window.unboundedPreceding, 0)
     )
