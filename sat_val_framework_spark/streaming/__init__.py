@@ -1,3 +1,4 @@
+from sat_val_framework_spark.streaming.dedup_stream import streaming_dedup
 from sat_val_framework_spark.streaming.qc_stream import streaming_schema_assert, streaming_stats
 
-__all__ = ["streaming_schema_assert", "streaming_stats"]
+__all__ = ["streaming_schema_assert", "streaming_stats", "streaming_dedup"]
