@@ -1,0 +1,33 @@
+"""SURVEY.md §7 hard part (d): verdicts — including violation samples —
+must be byte-identical at any parallelism level / task order."""
+
+from sat_val_framework_spark.fused import run_suite_fused
+from sat_val_framework_spark.runner import DEFAULT_SUITE, run_suite
+
+
+def _key(rows):
+    return {
+        (r["constraint_id"], r["part_id"]): (
+            r["status"],
+            r["rows_scanned"],
+            r["violation_count"],
+            tuple(r["sample_violations"] or []),
+        )
+        for r in rows
+    }
+
+
+def test_modular_suite_identical_across_parallelism(spark, docs, catalog, baseline):
+    one = run_suite(
+        spark, docs.coalesce(1), DEFAULT_SUITE, catalog=catalog, baseline=baseline
+    ).verdicts.collect()
+    many = run_suite(
+        spark, docs.repartition(16), DEFAULT_SUITE, catalog=catalog, baseline=baseline
+    ).verdicts.collect()
+    assert _key(one) == _key(many)
+
+
+def test_fused_suite_identical_across_parallelism(spark, docs, catalog, baseline):
+    one = run_suite_fused(spark, docs.coalesce(1), catalog, baseline).collect()
+    many = run_suite_fused(spark, docs.repartition(16), catalog, baseline).collect()
+    assert _key(one) == _key(many)
