@@ -17,7 +17,10 @@ def test_schema_assert_flags_null_spans_per_partition(docs, oracle):
 
 
 def test_schema_assert_detects_wrong_schema(docs):
-    wrong = fx.DOCUMENTS_SCHEMA.add("extra", "string")
+    # build a fresh StructType: .add() mutates the shared schema in place
+    from pyspark.sql import types as T
+
+    wrong = T.StructType(list(fx.DOCUMENTS_SCHEMA.fields) + [T.StructField("extra", T.StringType())])
     out = schema_assert(docs, wrong, not_null=()).toPandas()
     assert (out.status == "FAIL").all()
 
