@@ -442,6 +442,28 @@ def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation: all grouping-set combinations."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube(F.col("o_orderstatus").alias("st"), F.col("o_orderpriority").alias("pri")).agg(
+        _r6(F.sum("o_totalprice")).alias("revenue"), F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-sum + moving-average windows per customer over order history."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("okey"),
+        _r6(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0))).alias(
+            "running_revenue"
+        ),
+        _r6(F.avg("o_totalprice").over(w.rowsBetween(-2, 0))).alias("mavg3"),
+    )
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (all-pairs exact at this scale;
     the sign-bucket LSH variant is the 100 TB path — see ann_bucketed)."""
@@ -560,6 +582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "training_filter": q_training_filter,
         "ann_ivf": q_ann_ivf,
+        "cube_revenue": q_cube_revenue,
+        "running_totals": q_running_totals,
     }
 
 
@@ -868,6 +892,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_seq, count(*) AS n_events,
                    min(ts) AS session_start, max(ts) AS session_end
             FROM y GROUP BY user_id, session_seq
+        """,
+        "cube_revenue": """
+            SELECT o_orderstatus AS st, o_orderpriority AS pri,
+                   round(sum(o_totalprice), 6) AS revenue, count(*) AS n_orders
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "running_totals": """
+            SELECT o_custkey AS cust, o_orderkey AS okey,
+                   round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 6) AS running_revenue,
+                   round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3
+            FROM orders
         """,
         "rollup_revenue": """
             SELECT l_returnflag AS rf, l_linestatus AS ls,
