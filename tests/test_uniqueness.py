@@ -31,6 +31,30 @@ def test_cross_partition_duplicate_caught(spark):
     assert [(r["doc_id"], r["dup_count"]) for r in dups] == [("k1", 2)]
 
 
+def test_pathological_hot_key(spark):
+    """Skew: one doc_id occupying most of the table. The two-level agg's
+    partial combine collapses the hot key map-side, so the final reducer
+    sees at most #splits rows for it — the check completes and counts
+    exactly (north-rule 'skew handled explicitly')."""
+    n_hot, n_cold = 200_000, 1_000
+    from pyspark.sql import functions as F
+
+    hot = spark.range(n_hot).select(
+        F.lit("hot-doc").alias("doc_id"), (F.col("id") % 16).cast("int").alias("part_id")
+    )
+    cold = spark.range(n_cold).select(
+        F.format_string("cold-%06d", F.col("id")).alias("doc_id"),
+        (F.col("id") % 16).cast("int").alias("part_id"),
+    )
+    df = hot.unionByName(cold).repartition(32)
+    dups = duplicate_keys(df, "doc_id").collect()
+    assert [(r["doc_id"], r["dup_count"]) for r in dups] == [("hot-doc", n_hot)]
+    verdicts, _ = uniqueness_check(df, "doc_id")
+    v = verdicts.toPandas()
+    assert v.violation_count.sum() == n_hot
+    assert (v.status == "FAIL").all()  # hot rows exist in every partition
+
+
 def test_sample_violations_deterministic_sorted(docs):
     verdicts, _ = uniqueness_check(docs, "doc_id")
     for r in verdicts.filter(F.col("violation_count") > 0).collect():
