@@ -109,7 +109,7 @@ def q_ref_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p_brand").alias("grp"))
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            _r6(F.sum("l_quantity")).alias("sum_qty"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
     )
 
@@ -421,7 +421,7 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation (subtotals + grand total)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.rollup(F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls")).agg(
-        _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -446,7 +446,7 @@ def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation: all grouping-set combinations."""
     o = _t(spark, sf_dir, "orders")
     return o.cube(F.col("o_orderstatus").alias("st"), F.col("o_orderpriority").alias("pri")).agg(
-        _r6(F.sum("o_totalprice")).alias("revenue"), F.count(F.lit(1)).alias("n_orders")
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count(F.lit(1)).alias("n_orders")
     )
 
 
@@ -513,9 +513,9 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy(F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls"))
         .agg(
-            _r6(F.sum("l_quantity")).alias("sum_qty"),
-            _r6(F.sum("l_extendedprice")).alias("sum_base"),
-            _r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -645,7 +645,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
         """,
         "ref_coverage": """
-            SELECT p_brand AS grp, count(*) AS n_items, round(sum(l_quantity), 6) AS sum_qty
+            SELECT p_brand AS grp, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand
         """,
@@ -849,9 +849,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q1": """
             SELECT l_returnflag AS rf, l_linestatus AS ls,
-                   round(sum(l_quantity), 6) AS sum_qty,
-                   round(sum(l_extendedprice), 6) AS sum_base,
-                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
                    count(*) AS n_rows
             FROM lineitem WHERE l_shipdate <= '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
@@ -895,7 +895,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cube_revenue": """
             SELECT o_orderstatus AS st, o_orderpriority AS pri,
-                   round(sum(o_totalprice), 6) AS revenue, count(*) AS n_orders
+                   round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
             FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "running_totals": """
@@ -908,7 +908,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rollup_revenue": """
             SELECT l_returnflag AS rf, l_linestatus AS ls,
-                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
                    count(*) AS n_rows
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
