@@ -90,6 +90,13 @@ def read_documents_csv_spans(
     return df
 
 
+def read_documents_orc(spark: SparkSession, path: str, lineage: bool = False) -> DataFrame:
+    """ORC ingest with the declared schema (columnar alternative; same
+    pushdown/pruning behavior as parquet under Catalyst)."""
+    df = spark.read.schema(DOCUMENTS_SCHEMA).orc(path)
+    return _with_lineage(df, lineage)
+
+
 def read_iceberg_table(
     spark: SparkSession, table: str, snapshot_id: str | None = None
 ) -> DataFrame:

@@ -60,6 +60,18 @@ def test_json_round_trip(spark, tmp_path):
     assert a == b
 
 
+def test_orc_round_trip(spark, tmp_path):
+    from sat_val_framework_spark.sources import read_documents_orc
+
+    docs = fx.documents_df(spark, 100)
+    opath = str(tmp_path / "docs.orc")
+    docs.write.orc(opath)
+    back = read_documents_orc(spark, opath)
+    a = sorted((r["doc_id"], r["part_id"], str(r["spans"])) for r in docs.collect())
+    b = sorted((r["doc_id"], r["part_id"], str(r["spans"])) for r in back.collect())
+    assert a == b
+
+
 def test_csv_flat_spans_reassembly(spark, tmp_path):
     docs = fx.documents_df(spark, 100).filter(F.col("spans").isNotNull())
     flat = docs.select(
