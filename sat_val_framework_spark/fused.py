@@ -113,6 +113,18 @@ def _hist_verdicts(
     return out.withColumn("sample_violations", F.array().cast("array<string>"))
 
 
+FUSED_CONSTRAINT_IDS = [
+    "schema_assert",
+    "stats:n_spans",
+    "drift_ks:n_spans",
+    "drift_psi:n_spans",
+    "ref:media_ref",
+    "drift_ks:text_len",
+    "drift_psi:text_len",
+    "unique:doc_id",
+]
+
+
 def run_suite_fused(
     spark: SparkSession,
     docs: DataFrame,
@@ -123,9 +135,75 @@ def run_suite_fused(
     stats_hi: float = 64,
     ks_threshold: float = 0.15,
     psi_threshold: float = 0.2,
+    checkpoint_path: str | None = None,
+    run_id: str | None = None,
 ) -> DataFrame:
     """The DEFAULT_SUITE's verdicts in three scans. Returns the union of
-    verdict rows (same CHECK_OUTPUT_COLS shape as the modular runner)."""
+    verdict rows (same CHECK_OUTPUT_COLS shape as the modular runner).
+
+    With ``checkpoint_path``: resumable like the modular runner — the
+    doc-level and span-level passes scan only partitions with ANY pending
+    constraint (pushed-down isin filter); uniqueness always scans all rows
+    (duplicates cross partition boundaries) but emits only pending
+    verdicts; already-checkpointed (constraint, partition) pairs are never
+    re-emitted, and new verdicts are appended with lineage.
+    """
+    import uuid
+
+    from sat_val_framework_spark import checkpoint as ckpt
+    from sat_val_framework_spark.verdicts import finalize_verdicts
+
+    run_id = run_id or uuid.uuid4().hex[:12]
+    done_pairs: set[tuple[str, int]] = set()
+    scan_docs = docs
+    if checkpoint_path:
+        existing = ckpt.read_checkpoint(spark, checkpoint_path)
+        done_pairs = {
+            (r["constraint_id"], r["part_id"])
+            for r in existing.filter(F.col("run_id") == run_id)
+            .select("constraint_id", "part_id")
+            .distinct()
+            .collect()
+        }
+        all_parts = {r["part_id"] for r in docs.select(part_col).distinct().collect()}
+        pending_parts = {
+            p for p in all_parts
+            if any((cid, p) not in done_pairs for cid in FUSED_CONSTRAINT_IDS)
+        }
+        if not pending_parts:
+            return spark.createDataFrame([], ckpt.VERDICT_SCHEMA).drop(
+                "run_id", "latency_ms", "params_json", "snapshot_id", "ts"
+            )
+        if pending_parts != all_parts:
+            scan_docs = docs.filter(F.col(part_col).isin(sorted(pending_parts)))
+    verdicts = _run_fused_passes(
+        spark, scan_docs, docs, catalog, baseline, part_col,
+        stats_lo, stats_hi, ks_threshold, psi_threshold,
+    )
+    if checkpoint_path:
+        if done_pairs:
+            done_df = spark.createDataFrame(
+                [(c, p) for (c, p) in sorted(done_pairs)], "constraint_id string, part_id int"
+            )
+            verdicts = verdicts.join(done_df, ["constraint_id", "part_id"], "left_anti")
+        ckpt.append_verdicts(finalize_verdicts(verdicts, run_id), checkpoint_path)
+    return verdicts
+
+
+def _run_fused_passes(
+    spark: SparkSession,
+    docs: DataFrame,
+    docs_all: DataFrame,
+    catalog: DataFrame,
+    baseline,
+    part_col: str = "part_id",
+    stats_lo: float = 1,
+    stats_hi: float = 64,
+    ks_threshold: float = 0.15,
+    psi_threshold: float = 0.2,
+) -> DataFrame:
+    """The three passes. ``docs`` may be partition-filtered for resume;
+    ``docs_all`` is the full table (uniqueness must see every row)."""
     bpd = _baseline_pd(baseline)
     lo_ns, w_ns, nb_ns = _edges_pd(bpd, "n_spans")
     lo_tl, w_tl, nb_tl = _edges_pd(bpd, "text_len")
@@ -213,11 +291,12 @@ def run_suite_fused(
 
     # ---- Pass C: uniqueness (own shuffle key, cannot fuse) --------------
     # two scans (salted dup agg + join-back for partition attribution);
-    # per-partition row counts reuse Pass A instead of a third scan
+    # per-partition row counts reuse Pass A instead of a third scan.
+    # Scans docs_all even on resume: duplicates cross partition boundaries.
     from sat_val_framework_spark.operators.uniqueness import duplicate_keys
 
-    dups = duplicate_keys(docs, "doc_id")
-    viol_rows = docs.join(dups, "doc_id", "inner").select(
+    dups = duplicate_keys(docs_all, "doc_id")
+    viol_rows = docs_all.join(dups, "doc_id", "inner").select(
         F.col(part_col).alias("part_id"), F.col("doc_id").alias("violation_key")
     )
     viol_agg = viol_rows.groupBy("part_id").agg(

@@ -28,6 +28,34 @@ def test_fused_matches_modular(spark, docs, catalog, baseline):
         assert mk[k] == fk[k], (k, mk[k], fk[k])
 
 
+def test_fused_checkpoint_resume(spark, docs, catalog, baseline, tmp_path):
+    """Fused path resumes like the modular one: full run -> rerun is a noop;
+    half-deleted checkpoint -> only missing pairs recompute, final identical."""
+    from pyspark.sql import functions as F
+
+    from sat_val_framework_spark import checkpoint as ckpt
+
+    path = str(tmp_path / "fckpt")
+    kw = dict(checkpoint_path=path, run_id="fr1")
+    run_suite_fused(spark, docs, catalog, baseline, **kw)
+    full = _key(ckpt.read_checkpoint(spark, path).collect())
+    assert len(full) > 0
+
+    again = run_suite_fused(spark, docs, catalog, baseline, **kw)
+    assert again.count() == 0  # noop resume
+
+    kept_rows = ckpt.read_checkpoint(spark, path).filter(F.col("part_id") < 8).collect()
+    import shutil
+
+    shutil.rmtree(path)
+    spark.createDataFrame(kept_rows, ckpt.VERDICT_SCHEMA).write.parquet(path)
+    recomputed = run_suite_fused(spark, docs, catalog, baseline, **kw)
+    rec = _key(recomputed.collect())
+    assert rec and all(p >= 8 for (_, p) in rec)
+    final = _key(ckpt.read_checkpoint(spark, path).collect())
+    assert final == full
+
+
 def test_fused_shares_pass_results(spark, docs, catalog, baseline):
     """The wide per-pass aggregates are persisted so every verdict family
     reads the shared result instead of re-expanding the scan subtree."""
