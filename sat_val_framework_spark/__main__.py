@@ -43,14 +43,16 @@ def main(argv: list[str] | None = None) -> int:
     baseline = baseline_stats_df(spark)
 
     if args.fused:
-        from sat_val_framework_spark.checkpoint import append_verdicts
         from sat_val_framework_spark.fused import run_suite_fused
-        from sat_val_framework_spark.verdicts import finalize_verdicts
 
-        verdicts = finalize_verdicts(
-            run_suite_fused(spark, docs, catalog, baseline), run_id=args.run_id or "fused"
+        run_suite_fused(
+            spark,
+            docs,
+            catalog,
+            baseline,
+            checkpoint_path=args.checkpoint,
+            run_id=args.run_id or "fused",
         )
-        append_verdicts(verdicts, args.checkpoint)
         n = spark.read.parquet(args.checkpoint).count()
         print(f"fused run complete; checkpoint rows now {n}")
     else:
