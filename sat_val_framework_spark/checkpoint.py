@@ -69,13 +69,22 @@ def append_violations(
         else F.lit("{}").alias("detail_json"),
         F.current_timestamp().alias("ts"),
     )
-    out.write.mode("append").parquet(path)
+    # one subdir per (run, constraint), overwritten whole: retried writes
+    # are idempotent by construction (the usable.py:52-55 no-clobber intent)
+    import re
+
+    safe = re.sub(r"\W", "_", f"{run_id}__{constraint_id}")
+    out.write.mode("overwrite").parquet(f"{path}/{safe}")
 
 
 def read_violations(spark: SparkSession, path: str) -> DataFrame:
     if not os.path.exists(path):
         return spark.createDataFrame([], VIOLATIONS_SCHEMA)
-    return spark.read.schema(VIOLATIONS_SCHEMA).parquet(path)
+    return (
+        spark.read.schema(VIOLATIONS_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
 
 
 def completed_parts(checkpoint: DataFrame, run_id: str, constraint_id: str) -> DataFrame:

@@ -89,6 +89,10 @@ def test_violations_sink_persists_full_rows(spark, docs, catalog, tmp_path):
     sample = stored.filter(F.col("constraint_id") == "ref:media_ref").first()
     assert sample["violation_key"].startswith("m-missing-")
     assert sample["run_id"] == "v1" and sample["part_id"] is not None
+    # retried write of the same (run, constraint) partition is idempotent
+    n_before = stored.count()  # materialize before the overwrite invalidates the listing
+    run_suite(spark, docs, suite, catalog=catalog, violations_path=vpath, run_id="v1")
+    assert ckpt.read_violations(spark, vpath).count() == n_before
 
 
 def test_runner_span_seq_check(spark, docs, tmp_path):
