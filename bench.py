@@ -46,6 +46,11 @@ HEADLINE = [
     "quality_score",
     "ann_topk",
     "embedding_stats",
+    "asof_join",
+    "sessionize",
+    "dedup_jaccard",
+    "training_filter",
+    "rollup_revenue",
 ]
 
 
