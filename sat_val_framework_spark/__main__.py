@@ -43,8 +43,12 @@ def main(argv: list[str] | None = None) -> int:
     baseline = baseline_stats_df(spark)
 
     if args.fused:
+        import time
+
         from sat_val_framework_spark.fused import run_suite_fused
 
+        n_docs = docs.count()
+        t0 = time.time()
         run_suite_fused(
             spark,
             docs,
@@ -53,8 +57,12 @@ def main(argv: list[str] | None = None) -> int:
             checkpoint_path=args.checkpoint,
             run_id=args.run_id or "fused",
         )
+        dt = time.time() - t0
         n = spark.read.parquet(args.checkpoint).count()
-        print(f"fused run complete; checkpoint rows now {n}")
+        print(
+            f"fused run complete; checkpoint rows now {n}; "
+            f"{n_docs} docs in {dt:.2f}s = {n_docs / dt:.0f} docs/sec"
+        )
     else:
         from sat_val_framework_spark.runner import DEFAULT_SUITE, run_suite
 

@@ -19,17 +19,25 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or f"local[{cpus}]"
-    # local[N] -> N; local[*] -> cpu count
-    n = master.removeprefix("local[").removesuffix("]")
-    par = os.cpu_count() if n in ("*", "") else int(n)
-    shuffle_partitions = shuffle_partitions or max(int(par), 8)
+    # Under spark-submit the JVM gateway already exists and --master is
+    # authoritative: setting builder.master would silently OVERRIDE the
+    # submitted master (observed: a --master local[2] job running local[32]).
+    under_spark_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not under_spark_submit:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None and master:
+        n = master.removeprefix("local[").removesuffix("]")
+        par = os.cpu_count() if n in ("*", "") or not n.isdigit() else int(n)
+        shuffle_partitions = max(int(par), 8)
 
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -45,5 +53,11 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    if shuffle_partitions is None:
+        # master came from spark-submit: size shuffles to the actual cores
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(spark.sparkContext.defaultParallelism, 8)),
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark
