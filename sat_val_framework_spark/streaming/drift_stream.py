@@ -1,0 +1,53 @@
+"""Streaming drift monitoring: per-micro-batch KS/PSI vs the fixed baseline.
+
+Late-arriving data can drift long after the batch validation ran; this
+operator re-expresses B7/B8 over an unbounded source. Each micro-batch's
+per-partition histograms are scored against the same analytic baseline via
+``foreachBatch`` reusing the batch drift kernel — one code path for both
+modes, verdicts appended to the same parquet sink shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from sat_val_framework_spark import profile
+from sat_val_framework_spark.fixtures import DOCUMENTS_SCHEMA
+from sat_val_framework_spark.operators.drift import drift_check
+
+
+def streaming_drift(
+    spark: SparkSession,
+    input_path: str,
+    baseline: DataFrame,
+    sink_path: str,
+    column: str = "n_spans",
+    ks_threshold: float = 0.15,
+    psi_threshold: float = 0.2,
+    max_files: int = 4,
+) -> StreamingQuery:
+    """Score each micro-batch's documents against the baseline; verdict rows
+    (+ epoch_id) append to ``sink_path``. Per-batch semantics: a batch that
+    drifts fails for that batch — lineage keeps the history."""
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_path)
+    )
+    series_fn = {"n_spans": profile.n_spans_series, "text_len": profile.text_len_series}[column]
+
+    def score_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        verdicts, _scores = drift_check(
+            series_fn(batch_df),
+            baseline,
+            column,
+            ks_threshold=ks_threshold,
+            psi_threshold=psi_threshold,
+        )
+        verdicts.withColumn("epoch_id", F.lit(epoch_id)).write.mode("append").parquet(sink_path)
+
+    return stream.writeStream.foreachBatch(score_batch).start()

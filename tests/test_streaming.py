@@ -53,6 +53,27 @@ def test_streaming_stats_matches_batch(spark, stream_dir):
     assert got == exp
 
 
+def test_streaming_drift_scores_batches(spark, stream_dir, tmp_path, baseline):
+    from sat_val_framework_spark.streaming import streaming_drift
+
+    sink = str(tmp_path / "drift_sink")
+    q = streaming_drift(spark, stream_dir, baseline, sink, column="n_spans")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.read.parquet(sink)
+    assert rows.count() > 0
+    got = rows.toPandas()
+    assert {"constraint_id", "part_id", "status", "epoch_id"} <= set(got.columns)
+    # per-batch drift: the drifted partition fails in at least one batch;
+    # clean partitions may be noisy in tiny batches, so just assert the
+    # drifted one is caught and statuses are well-formed
+    import sat_val_framework_spark.fixtures as fx
+
+    drifted = got[(got.part_id == fx.DRIFT_PART) & (got.constraint_id == "drift_psi:n_spans")]
+    assert (drifted.status == "FAIL").any()
+    assert set(got.status) <= {"PASS", "FAIL"}
+
+
 def test_streaming_foreach_batch_checkpoints(spark, stream_dir, tmp_path):
     sink = str(tmp_path / "verdict_sink")
     q = streaming_schema_assert(
