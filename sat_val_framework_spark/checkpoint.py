@@ -97,6 +97,44 @@ def completed_parts(checkpoint: DataFrame, run_id: str, constraint_id: str) -> D
     )
 
 
+def diff_runs(checkpoint: DataFrame, run_a: str, run_b: str) -> DataFrame:
+    """Verdict regressions/changes between two runs: rows where the status
+    or violation_count for a (constraint, partition) differs — the
+    re-parameterized-rerun comparison the reference's pickled event list
+    existed to enable (usable.py:51-62)."""
+    a = checkpoint.filter(F.col("run_id") == run_a).alias("a")
+    b = checkpoint.filter(F.col("run_id") == run_b).alias("b")
+    j = a.join(
+        b,
+        (F.col("a.constraint_id") == F.col("b.constraint_id"))
+        & (F.col("a.part_id") == F.col("b.part_id")),
+        "full_outer",
+    )
+    return j.filter(
+        ~F.col("a.status").eqNullSafe(F.col("b.status"))
+        | ~F.col("a.violation_count").eqNullSafe(F.col("b.violation_count"))
+    ).select(
+        F.coalesce(F.col("a.constraint_id"), F.col("b.constraint_id")).alias("constraint_id"),
+        F.coalesce(F.col("a.part_id"), F.col("b.part_id")).alias("part_id"),
+        F.col("a.status").alias("status_a"),
+        F.col("b.status").alias("status_b"),
+        F.col("a.violation_count").alias("violations_a"),
+        F.col("b.violation_count").alias("violations_b"),
+    )
+
+
+def run_summary(checkpoint: DataFrame) -> DataFrame:
+    """Per-run health rollup: constraint coverage, failure counts, pass rate,
+    total violations — the dashboard row for a validation run."""
+    return checkpoint.groupBy("run_id").agg(
+        F.countDistinct("constraint_id").alias("n_constraints"),
+        F.count(F.lit(1)).alias("n_verdicts"),
+        F.sum((F.col("status") == "FAIL").cast("long")).alias("n_fail"),
+        F.round(F.avg((F.col("status") == "PASS").cast("double")), 6).alias("pass_rate"),
+        F.sum("violation_count").alias("total_violations"),
+    )
+
+
 def discover_worklist(docs: DataFrame, path: str | None = None, part_col: str = "part_id") -> DataFrame:
     """E1 discovery: enumerate the partition worklist (one row per partition
     with its cardinality) and optionally persist it — the engine twin of the

@@ -106,6 +106,34 @@ def test_runner_span_seq_check(spark, docs, tmp_path):
     assert CheckSuite([Check("span_seq")]).checks[0].constraint_id == "span_seq_eq"
 
 
+def test_diff_runs_and_summary(spark, docs, catalog, baseline, tmp_path):
+    """Two runs over different inputs: diff surfaces exactly the changed
+    verdicts; summary rolls up per-run health."""
+    from pyspark.sql import functions as Fn
+
+    path = str(tmp_path / "ckpt")
+    kw = dict(catalog=catalog, baseline=baseline, checkpoint_path=path)
+    run_suite(spark, docs, DEFAULT_SUITE, run_id="ra", **kw)
+    # second run over a cleaned table (null-span docs dropped) -> schema and
+    # stats verdicts change where those docs lived
+    cleaned = docs.filter(Fn.col("spans").isNotNull())
+    run_suite(spark, cleaned, DEFAULT_SUITE, run_id="rb", **kw)
+    cp = ckpt.read_checkpoint(spark, path)
+    diff = ckpt.diff_runs(cp, "ra", "rb").collect()
+    assert diff, "expected changed verdicts between runs"
+    changed = {(r["constraint_id"], r["part_id"]) for r in diff}
+    # the partition that held the injected null-span docs must appear
+    null_parts = {r["part_id"] for r in docs.filter(Fn.col("spans").isNull()).select("part_id").distinct().collect()}
+    assert any(c == "schema_assert" and p in null_parts for c, p in changed)
+    # unchanged constraint/partition pairs are absent
+    assert all(r["status_a"] != r["status_b"] or r["violations_a"] != r["violations_b"] for r in diff)
+
+    summary = {r["run_id"]: r for r in ckpt.run_summary(cp).collect()}
+    assert summary["ra"]["n_fail"] > summary["rb"]["n_fail"]
+    assert 0.0 < summary["ra"]["pass_rate"] < 1.0
+    assert summary["ra"]["n_constraints"] == 8
+
+
 def test_discover_worklist_persists_and_reloads(spark, docs, oracle, tmp_path):
     path = str(tmp_path / "worklist")
     wl = ckpt.discover_worklist(docs, path)
