@@ -23,10 +23,16 @@ def tokens_col(text: Column) -> Column:
     return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
 
 
+def n_tokens_col(text: Column) -> Column:
+    """NULL-safe token count: F.size(NULL) is -1 (legacy Spark semantics),
+    which would diverge from SQL NULL — guard explicitly."""
+    return F.when(text.isNotNull(), F.size(tokens_col(text))).cast("long")
+
+
 def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+        n_tokens_col(F.col(text_col)).alias("n_tokens"),
     )
 
 
@@ -39,7 +45,7 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     t = F.col(text_col)
     lower = F.lower(t)
     n_chars = F.length(t)
-    n_tokens = F.size(tokens_col(t))
+    n_tokens = n_tokens_col(t)
     n_punct = F.regexp_count(t, F.lit(PUNCT_RE))
     n_stop = F.regexp_count(lower, F.lit(STOPWORD_RE))
     avg_tok = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(F.lit(0.0))
@@ -65,7 +71,7 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """N-gram/stopword-heuristic language ID. Real pipelines plug a model in
     here; the engine contract is the shape: doc_id -> (lang, confidence)."""
     lower = F.lower(F.col(text_col))
-    n_tokens = F.size(tokens_col(F.col(text_col)))
+    n_tokens = n_tokens_col(F.col(text_col))
     n_stop = F.regexp_count(lower, F.lit(STOPWORD_RE))
     ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0))
     return docs.select(

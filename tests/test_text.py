@@ -20,6 +20,17 @@ def docs(spark):
     return spark.createDataFrame(ROWS, ["doc_id", "text"])
 
 
+def test_null_text_yields_null_counts(spark):
+    """F.size(NULL) is -1 in Spark; the operators must surface SQL NULL."""
+    df = spark.createDataFrame([(1, None), (2, "a b")], ["doc_id", "text"])
+    tc = {r["doc_id"]: r["n_tokens"] for r in text.token_count(df).collect()}
+    assert tc[1] is None and tc[2] == 2
+    q = {r["doc_id"]: r for r in text.quality_score(df).collect()}
+    assert q[1]["n_tokens"] is None and q[1]["n_chars"] is None
+    l = {r["doc_id"]: r["lang_pred"] for r in text.lang_id(df).collect()}
+    assert l[1] == "unk"
+
+
 def test_token_count_matches_python(docs):
     got = {r["doc_id"]: r["n_tokens"] for r in text.token_count(docs).collect()}
     for i, t in ROWS:
