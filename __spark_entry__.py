@@ -242,8 +242,10 @@ def q_checkpoint_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # doc_ids joined to ONE string: the driver's pandas canonicalizer cannot
+    # sort/hash list-valued cells (unhashable type 'list')
     return dedup.exact_duplicates(_t_wide(spark, sf_dir, "documents")).select(
-        "digest", "n_docs", F.col("doc_ids").cast("array<string>").alias("doc_ids")
+        "digest", "n_docs", F.array_join(F.col("doc_ids"), ",").alias("doc_ids")
     )
 
 
@@ -312,17 +314,25 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plan for audio/video media. Rows-only check."""
+    """Frame-sampling plan for audio/video media, one row per planned frame
+    (exploded: the driver's canonicalizer cannot hash array cells)."""
     from sat_val_framework_spark.fixtures import media_catalog_df
 
     media = multimodal.media_table(media_catalog_df(spark, 500))
-    return multimodal.frame_sample_plan(media)
+    plan = multimodal.frame_sample_plan(media)
+    return plan.select(
+        "media_ref",
+        "media_type",
+        F.posexplode("sample_ts_ms").alias("frame_idx", "ts_ms"),
+    )
 
 
 def q_drift_ks_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B7 proper: KS via Arrow-vectorized applyInPandas over per-group
-    histograms (non-SQL-expressible path; rows-only check — the SQL twin
-    q_drift_ks covers value correctness)."""
+    histograms. The group histogram is LEFT-joined onto the full global bin
+    spine with zero-fill, so the CDF difference is evaluated at EVERY bin —
+    an inner join would under-report KS whenever a group has an empty bin
+    (same semantics as the SQL twin q_drift_ks, which is its oracle)."""
     import pandas as pd
 
     e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
@@ -330,7 +340,8 @@ def q_drift_ks_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_all = e.count()
     glob = e.groupBy(b).agg((F.count(F.lit(1)) / F.lit(float(n_all))).alias("q"))
     obs = e.groupBy(F.col("event_type").alias("grp"), b).agg(F.count(F.lit(1)).alias("c"))
-    full = obs.join(glob, "bin_id")
+    spine = obs.select("grp").distinct().crossJoin(glob)
+    full = spine.join(obs, ["grp", "bin_id"], "left").na.fill({"c": 0})
 
     def ks(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("bin_id")
@@ -616,6 +627,42 @@ def _simhash_sql() -> str:
     return bits
 
 
+# sign-bucket key over the first 8 dims — DuckDB lists are 1-based
+_SIGN_BUCKET_SQL = "concat(" + ", ".join(
+    f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)
+) + ")"
+
+# DuckDB twin of fixtures.media_catalog_df(spark, 500): pure row-index
+# arithmetic, no data files (the Spark side synthesizes the same table)
+_MEDIA_CAT_SQL = """
+    SELECT format('m-{:06d}', i) AS media_ref,
+           CASE WHEN i % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type
+    FROM generate_series(0, 499) t(i)
+"""
+
+# shared by "drift_ks" and "drift_ks_pandas" (the applyInPandas kernel
+# computes the same zero-filled-spine KS; this SQL is the oracle for both)
+_DRIFT_KS_SQL = """
+    WITH e AS (SELECT event_type,
+                      least(floor(value / 20.0), 24)::int AS bin_id
+               FROM events WHERE value IS NOT NULL),
+    obs AS (SELECT event_type AS grp, bin_id, count(*) AS c FROM e GROUP BY 1, 2),
+    ghist AS (SELECT bin_id, count(*) AS g FROM e GROUP BY 1),
+    tot AS (SELECT event_type AS grp, count(*) AS t FROM e GROUP BY 1),
+    n AS (SELECT count(*) AS n_all FROM e),
+    spine AS (SELECT tot.grp, tot.t, ghist.bin_id, ghist.g FROM tot, ghist),
+    full_h AS (SELECT spine.grp, spine.bin_id,
+                      coalesce(obs.c, 0) * 1.0 / spine.t AS p,
+                      spine.g * 1.0 / n.n_all AS q
+               FROM spine LEFT JOIN obs ON spine.grp = obs.grp AND spine.bin_id = obs.bin_id, n),
+    cdf AS (SELECT grp,
+                   abs(sum(p) OVER (PARTITION BY grp ORDER BY bin_id)
+                     - sum(q) OVER (PARTITION BY grp ORDER BY bin_id)) AS d
+            FROM full_h)
+    SELECT grp, round(max(d), 6) AS ks FROM cdf GROUP BY grp
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "stats_per_source": """
@@ -679,25 +726,10 @@ def oracle_sql() -> dict[str, str]:
                   FROM ghist JOIN obs USING (bin_id) JOIN tot ON obs.grp = tot.grp, n)
             GROUP BY grp
         """,
-        "drift_ks": """
-            WITH e AS (SELECT event_type,
-                              least(floor(value / 20.0), 24)::int AS bin_id
-                       FROM events WHERE value IS NOT NULL),
-            obs AS (SELECT event_type AS grp, bin_id, count(*) AS c FROM e GROUP BY 1, 2),
-            ghist AS (SELECT bin_id, count(*) AS g FROM e GROUP BY 1),
-            tot AS (SELECT event_type AS grp, count(*) AS t FROM e GROUP BY 1),
-            n AS (SELECT count(*) AS n_all FROM e),
-            spine AS (SELECT tot.grp, tot.t, ghist.bin_id, ghist.g FROM tot, ghist),
-            full_h AS (SELECT spine.grp, spine.bin_id,
-                              coalesce(obs.c, 0) * 1.0 / spine.t AS p,
-                              spine.g * 1.0 / n.n_all AS q
-                       FROM spine LEFT JOIN obs ON spine.grp = obs.grp AND spine.bin_id = obs.bin_id, n),
-            cdf AS (SELECT grp,
-                           abs(sum(p) OVER (PARTITION BY grp ORDER BY bin_id)
-                             - sum(q) OVER (PARTITION BY grp ORDER BY bin_id)) AS d
-                    FROM full_h)
-            SELECT grp, round(max(d), 6) AS ks FROM cdf GROUP BY grp
-        """,
+        "drift_ks": _DRIFT_KS_SQL,
+        # the pandas/Arrow kernel computes the same zero-filled-spine KS, so
+        # the SQL twin is its oracle too (VERDICT r1 item 3)
+        "drift_ks_pandas": _DRIFT_KS_SQL,
         "verdict_union": """
             WITH g AS (SELECT source AS grp, count(*) AS n,
                               count(*) FILTER (text IS NULL) AS null_text,
@@ -731,7 +763,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT md5(text) AS digest, count(*) AS n_docs,
-                   list_transform(list_sort(list(doc_id)), x -> x::varchar) AS doc_ids
+                   array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
             FROM documents GROUP BY md5(text) HAVING count(*) > 1
         """,
         "dedup_jaccard": f"""
@@ -886,8 +918,10 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END AS new_s
                 FROM events),
             y AS (SELECT user_id, ts,
-                         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                          ROWS UNBOUNDED PRECEDING) AS session_seq
+                         -- ::bigint: DuckDB windowed sum() yields HUGEINT,
+                         -- which the driver's pandas canon turns into float
+                         (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING))::bigint AS session_seq
                   FROM x)
             SELECT user_id, session_seq, count(*) AS n_events,
                    min(ts) AS session_start, max(ts) AS session_end
@@ -951,8 +985,81 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
         """,
-        # ann_bucketed, multimodal_features, frame_plan, drift_ks_pandas:
-        # intentionally no oracle (LSH bucketing with 1-based vs 0-based
-        # index subtleties, binary/stub outputs, pandas-UDF-only path) ->
-        # driver records rows-only checks.
+        # sign-bucket LSH: bucket key = sign bits of dims 0..7 (DuckDB lists
+        # are 1-based -> embedding[1..8]); then exact cosine within bucket
+        "ann_bucketed": f"""
+            WITH b AS (SELECT vec_id, embedding, {_SIGN_BUCKET_SQL} AS bucket FROM embeddings),
+            q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b WHERE vec_id < 5),
+            scored AS (
+                SELECT q.query_id, b.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qe::DOUBLE[], b.embedding::DOUBLE[]) AS s
+                FROM b JOIN q USING (bucket) WHERE b.vec_id != q.query_id),
+            ranked AS (
+                SELECT query_id, neighbor_id, s,
+                       row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+                FROM scored)
+            SELECT query_id, neighbor_id, round(s, 6) AS cos_sim, rank::int AS rank
+            FROM ranked WHERE rank <= 10
+        """,
+        # IVF: centroids = first 16 corpus vectors by vec_id (cell = ordinal);
+        # dot products as an explicit sequential left fold (list_reduce) so
+        # the doubles are bit-identical to Spark's fold; cell argmax breaks
+        # ties toward the HIGHER cell index (Spark's reverse(array_sort))
+        "ann_ivf": """
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce
+                      FROM emb ORDER BY vec_id LIMIT 16),
+            dots AS (SELECT emb.vec_id, cents.cell,
+                            list_reduce(list_transform(generate_series(1, 64),
+                                                       j -> emb.e[j] * cents.ce[j]),
+                                        (a, b) -> a + b) AS s
+                     FROM emb, cents),
+            c_cell AS (SELECT vec_id AS neighbor_id, cell FROM
+                         (SELECT vec_id, cell,
+                                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+                          FROM dots)
+                       WHERE rn = 1),
+            q_cells AS (SELECT vec_id AS query_id, cell FROM
+                          (SELECT vec_id, cell,
+                                  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+                           FROM dots WHERE vec_id < 5)
+                        WHERE rn <= 3),
+            pairs AS (SELECT DISTINCT query_id, neighbor_id
+                      FROM q_cells q JOIN c_cell c USING (cell)
+                      WHERE neighbor_id != query_id),
+            scored AS (SELECT p.query_id, p.neighbor_id,
+                              list_cosine_similarity(a.e, b.e) AS s
+                       FROM pairs p
+                       JOIN emb a ON a.vec_id = p.query_id
+                       JOIN emb b ON b.vec_id = p.neighbor_id),
+            ranked AS (SELECT query_id, neighbor_id, s,
+                              row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+                       FROM scored)
+            SELECT query_id, neighbor_id, round(s, 6) AS cos_sim, rank::int AS rank
+            FROM ranked WHERE rank <= 10
+        """,
+        # the media fixture is pure integer arithmetic on the row index and
+        # the synthesized bytes are a deterministic ASCII string -> the whole
+        # decode stub is SQL-expressible (bytes == chars, all code points <128)
+        "multimodal_features": f"""
+            WITH cat AS ({_MEDIA_CAT_SQL}),
+            m AS (SELECT media_ref, media_type,
+                         'media-bytes:' || media_ref || ':' || repeat(chr(1) || chr(2), 64) AS s
+                  FROM cat),
+            x AS (SELECT media_ref, media_type, s, strlen(s) AS n,
+                         list_transform(generate_series(1, strlen(s)::int),
+                                        j -> ascii(substr(s, j, 1))) AS bytes_l
+                  FROM m)
+            SELECT media_ref, media_type, n::bigint AS n_bytes,
+                   list_sum(bytes_l)::DOUBLE / n AS byte_mean,
+                   len(list_distinct(bytes_l)) / 256.0 AS byte_entropy_proxy,
+                   md5(s) AS feature_hash
+            FROM x
+        """,
+        "frame_plan": f"""
+            WITH cat AS ({_MEDIA_CAT_SQL})
+            SELECT media_ref, media_type, t.frame_idx, t.ts_ms
+            FROM cat, (VALUES (0, 0), (1, 500)) t(frame_idx, ts_ms)
+            WHERE media_type = 'audio'  -- duration 1000ms, sampled every 500ms
+        """,
     }

@@ -26,9 +26,8 @@ def test_oracle_keys_subset_of_queries():
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 25
-    # the intentionally rows-only ops are present as queries
-    for name in ("ann_bucketed", "multimodal_features", "frame_plan", "drift_ks_pandas"):
-        assert name in qs and name not in oracles
+    # every query has an oracle twin since round 2 (zero rows-only checks)
+    assert set(oracles) == set(qs)
 
 
 @needs_testdata

@@ -74,6 +74,14 @@ def main():
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
+        # the driver's pandas-based canonicalizer crashes on list cells
+        # (sort_values -> factorize -> unhashable type 'list') — catch the
+        # shape locally even for rows-only queries (r1: frame_plan)
+        arr_cols = [f.name for f in sdf.schema.fields if f.dataType.typeName() in ("array", "map", "struct")]
+        if arr_cols:
+            print(f"FAIL  {name}: array/map/struct output columns {arr_cols} crash the driver canon")
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"ROWS  {name}: rows={len(srows)} (no oracle; rows-only)")
             n_rowsonly += 1
@@ -81,6 +89,15 @@ def main():
         try:
             rel = con.sql(oracles[name])
             dcols = [c for c in rel.columns]
+            # HUGEINT (e.g. an uncast windowed sum()) survives fetchall() as
+            # int but becomes float64 in the driver's pandas canon — flag the
+            # TYPE, since values alone pass here but fail there (r1: sessionize)
+            huge = [c for c, t in zip(rel.columns, rel.types) if str(t) in ("HUGEINT", "UHUGEINT")]
+            if huge:
+                raise TypeError(
+                    f"oracle emits HUGEINT column(s) {huge}: cast to ::bigint "
+                    "(driver pandas canon converts HUGEINT to float64)"
+                )
             drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
