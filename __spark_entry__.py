@@ -250,7 +250,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.jaccard_pairs(_t_wide(spark, sf_dir, "documents"), threshold=0.03)
+    """LSH -> exact-Jaccard verify: MinHash banding proposes candidate
+    pairs (equi-join on band buckets), exact n-gram Jaccard verifies each.
+    No quadratic shape anywhere — the all-pairs shingle self-join
+    (dedup.jaccard_pairs) survives only as the pytest oracle."""
+    d = _t_wide(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signature(d, k=12)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=3)
+    return dedup.jaccard_on_pairs(cands, d, threshold=0.03)
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -476,21 +483,12 @@ def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (all-pairs exact at this scale;
-    the sign-bucket LSH variant is the 100 TB path — see ann_bucketed)."""
+    """Embedding-cosine near-duplicate pairs via banded sign-bucket LSH +
+    exact cosine verify — the scale-safe shape (equi-join on band buckets,
+    never an all-pairs crossJoin). The exact all-pairs path survives as the
+    pytest recall oracle (tests/test_similarity.py)."""
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(similarity.cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.4)
-    )
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.4, n_bits=8, bands=2)
 
 
 def q_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -627,10 +625,38 @@ def _simhash_sql() -> str:
     return bits
 
 
-# sign-bucket key over the first 8 dims — DuckDB lists are 1-based
-_SIGN_BUCKET_SQL = "concat(" + ", ".join(
-    f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)
-) + ")"
+# MinHash->LSH banding CTE chain, shared by the minhash_lsh oracle and the
+# dedup_jaccard (LSH->verify) oracle. Mirrors dedup.minhash_signature +
+# dedup.lsh_candidate_pairs with k=12, bands=4, rows_per_band=3.
+_LSH_CTES = f"""
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM toks),
+    hashed AS (SELECT doc_id,
+                      ('0x' || substr(md5(shingle), 1, 15))::bigint % 4294967296 AS h32
+               FROM sh),
+    sig AS (SELECT doc_id, {_minhash_sig_sql()} FROM hashed GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, b.band_id,
+               CASE b.band_id
+                 WHEN 0 THEN md5(m0::varchar || '|' || m1::varchar || '|' || m2::varchar)
+                 WHEN 1 THEN md5(m3::varchar || '|' || m4::varchar || '|' || m5::varchar)
+                 WHEN 2 THEN md5(m6::varchar || '|' || m7::varchar || '|' || m8::varchar)
+                 ELSE md5(m9::varchar || '|' || m10::varchar || '|' || m11::varchar)
+               END AS band_key
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_id) b)
+"""
+
+
+def _sign_key_sql(start: int = 0, n_bits: int = 8) -> str:
+    """Sign-bit bucket key over dims [start, start+n_bits) — DuckDB lists
+    are 1-based, Spark arrays 0-based."""
+    return "concat(" + ", ".join(
+        f"CASE WHEN embedding[{start + i + 1}] >= 0 THEN '1' ELSE '0' END"
+        for i in range(n_bits)
+    ) + ")"
+
+
+_SIGN_BUCKET_SQL = _sign_key_sql(0, 8)
 
 # DuckDB twin of fixtures.media_catalog_df(spark, 500): pure row-index
 # arithmetic, no data files (the Spark side synthesizes the same table)
@@ -766,12 +792,19 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
             FROM documents GROUP BY md5(text) HAVING count(*) > 1
         """,
+        # LSH -> verify: exact Jaccard evaluated only on the LSH candidates
         "dedup_jaccard": f"""
-            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-            sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM toks),
-            sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
-            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            WITH {_LSH_CTES},
+            cands AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+            shd AS (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM toks),
+            sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shd GROUP BY doc_id),
+            inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+                      FROM cands c
+                      JOIN shd a ON a.doc_id = c.doc_a
+                      JOIN shd b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
                       GROUP BY 1, 2)
             SELECT doc_a, doc_b,
                    round(n_inter * 1.0 / (sa.n_shingles + sb.n_shingles - n_inter), 6) AS jaccard
@@ -781,21 +814,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_inter * 1.0 / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.03
         """,
         "minhash_lsh": f"""
-            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-            sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM toks),
-            hashed AS (SELECT doc_id,
-                              ('0x' || substr(md5(shingle), 1, 15))::bigint % 4294967296 AS h32
-                       FROM sh),
-            sig AS (SELECT doc_id, {_minhash_sig_sql()} FROM hashed GROUP BY doc_id),
-            bands AS (
-                SELECT doc_id, b.band_id,
-                       CASE b.band_id
-                         WHEN 0 THEN md5(m0::varchar || '|' || m1::varchar || '|' || m2::varchar)
-                         WHEN 1 THEN md5(m3::varchar || '|' || m4::varchar || '|' || m5::varchar)
-                         WHEN 2 THEN md5(m6::varchar || '|' || m7::varchar || '|' || m8::varchar)
-                         ELSE md5(m9::varchar || '|' || m10::varchar || '|' || m11::varchar)
-                       END AS band_key
-                FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_id) b)
+            WITH {_LSH_CTES}
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
               ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -979,11 +998,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.quality_score >= 0.4 AND s.lang_pred = 'en'
               AND s.doc_id IN (SELECT doc_id FROM keeper)
         """,
-        "dedup_embedding": """
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+        # banded sign-bucket LSH + exact cosine verify (band 0 = dims 1..8,
+        # band 1 = dims 9..16 in DuckDB's 1-based lists)
+        "dedup_embedding": f"""
+            WITH banded AS (
+                SELECT vec_id, embedding, 0 AS band_id, {_sign_key_sql(0, 8)} AS key FROM embeddings
+                UNION ALL
+                SELECT vec_id, embedding, 1 AS band_id, {_sign_key_sql(8, 8)} AS key FROM embeddings),
+            hits AS (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS s
+                FROM banded a JOIN banded b
+                  ON a.band_id = b.band_id AND a.key = b.key AND a.vec_id < b.vec_id),
+            agg AS (SELECT vec_a, vec_b, round(max(s), 6) AS cos_sim FROM hits GROUP BY 1, 2)
+            SELECT vec_a, vec_b, cos_sim FROM agg WHERE cos_sim >= 0.4
         """,
         # sign-bucket LSH: bucket key = sign bits of dims 0..7 (DuckDB lists
         # are 1-based -> embedding[1..8]); then exact cosine within bucket

@@ -96,6 +96,53 @@ def jaccard_pairs(
     )
 
 
+def jaccard_on_pairs(
+    candidates: DataFrame,
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard evaluated ONLY on given candidate pairs
+    (doc_a, doc_b) — the verify stage of the LSH->verify composition.
+
+    Scale shape: no self-join on shingles (the quadratic hot-shingle shape
+    of ``jaccard_pairs``). Instead the candidate pairs are joined to each
+    side's exploded distinct shingles by (doc, shingle) equi-keys:
+    cost is O(|candidates| x shingles_per_doc), shuffle keys are
+    high-cardinality (doc_b, shingle) — well distributed at any corpus size.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles_col(F.col(text_col), n))).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    cand = candidates.select("doc_a", "doc_b")
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])  # matches only: |A ∩ B| per pair
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # affine-permutation constants for k-permutation MinHash: A_i < 2^31 and
 # h32 < 2^32 keep A_i*h32 + B_i inside int64 in Spark AND DuckDB (the
 # oracle twin errors on int64 overflow instead of wrapping)

@@ -126,6 +126,58 @@ def bucketed_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_bits: int = 8,
+    bands: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded sign-bucket LSH —
+    the scale path replacing the all-pairs crossJoin (O(n²) in corpus size).
+
+    Band b's bucket key = sign bits of dims [b*n_bits, (b+1)*n_bits); two
+    vectors are candidates if they agree on ANY band (union of equi-joins on
+    (band_id, key) — high-cardinality keys, well-distributed shuffle). Exact
+    cosine verifies every candidate; a pair hit by several bands is scored
+    per hit and collapsed by max (same value), avoiding a join-back for the
+    vectors. Recall grows with ``bands``; cost with bucket occupancy — never
+    with corpus size squared.
+    """
+
+    def band_key(vec: Column, b: int) -> Column:
+        return F.concat(
+            *[
+                F.when(vec[b * n_bits + i] >= 0, F.lit("1")).otherwise(F.lit("0"))
+                for i in range(n_bits)
+            ]
+        )
+
+    banded = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_id"), band_key(F.col(vec_col), b).alias("key"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("vid", "vec", "band.band_id", "band.key")
+    a = banded.select(F.col("vid").alias("vec_a"), F.col("vec").alias("ea"), "band_id", "key")
+    b = banded.select(F.col("vid").alias("vec_b"), F.col("vec").alias("eb"), "band_id", "key")
+    return (
+        a.join(b, ["band_id", "key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos"))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.round(F.max("cos"), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -98,3 +98,31 @@ def test_deterministic_across_partitionings(spark, corpus):
     one = dedup.minhash_signature(corpus.coalesce(1)).collect()
     many = dedup.minhash_signature(corpus.repartition(8)).collect()
     assert {r["doc_id"]: r["minhash"] for r in one} == {r["doc_id"]: r["minhash"] for r in many}
+
+
+def test_jaccard_on_pairs_matches_allpairs_on_candidates(corpus):
+    """LSH->verify composition: exact Jaccard over LSH candidates equals the
+    all-pairs jaccard_pairs restricted to the same candidate set."""
+    sigs = dedup.minhash_signature(corpus, k=12)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=3)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_on_pairs(cands, corpus, threshold=0.0).collect()
+    }
+    cand_set = {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
+    allpairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(corpus, threshold=0.0).collect()
+    }
+    expected = {p: j for p, j in allpairs.items() if p in cand_set}
+    assert got == expected
+    # the composition catches the exact and near duplicates
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (1, 3) in got and got[(1, 3)] >= 0.5
+
+
+def test_jaccard_on_pairs_threshold_filters(corpus):
+    sigs = dedup.minhash_signature(corpus, k=12)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=3)
+    rows = dedup.jaccard_on_pairs(cands, corpus, threshold=0.99).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(1, 2)}

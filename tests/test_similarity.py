@@ -95,3 +95,35 @@ def test_embedding_stats(emb):
         norms = np.linalg.norm(vecs[idx].astype("float64"), axis=1)
         assert got[g][0] == len(idx)
         assert got[g][1] == pytest.approx(round(float(norms.mean()), 6), abs=2e-6)
+
+
+def test_embedding_near_dup_is_subset_of_allpairs(emb):
+    df, vecs = emb
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in similarity.embedding_near_dup_pairs(df, threshold=0.3, n_bits=4, bands=2).collect()
+    }
+    sims = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)) @ (
+        vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    ).T
+    for (a, b), s in got.items():
+        assert a < b
+        assert abs(s - sims[a, b]) < 1e-5
+        assert s >= 0.3
+
+
+def test_embedding_near_dup_finds_true_near_dups(spark, emb):
+    """True near-duplicates (cos ~ 1) agree on every sign band, so the
+    banded LSH path must recall them."""
+    df, vecs = emb
+    dup = vecs[:10] + np.float32(1e-4)  # near-identical copies of vecs 0..9
+    extra = [(N + i, dup[i].tolist(), 0) for i in range(10)]
+    df2 = df.unionByName(
+        spark.createDataFrame(extra, "vec_id long, embedding array<float>, label int")
+    )
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_near_dup_pairs(df2, threshold=0.95, n_bits=4, bands=2).collect()
+    }
+    for i in range(10):
+        assert (i, N + i) in got, f"missed near-dup pair ({i}, {N + i})"
