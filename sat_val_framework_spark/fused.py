@@ -31,8 +31,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sat_val_framework_spark.fixtures import DOCUMENTS_SCHEMA
 from sat_val_framework_spark.operators.drift import _EPS
-from sat_val_framework_spark.verdicts import FAIL, PASS, sample_col
+from sat_val_framework_spark.operators.stats import _norm_type
+from sat_val_framework_spark.verdicts import ERR_EMPTY_SERIES, ERROR, FAIL, PASS, sample_col
 
 
 def _bin(col, lo0: float, width: float, n_bins: int):
@@ -50,17 +52,31 @@ def _drift_kernel(ref: np.ndarray, col_name: str, ks_thr: float, psi_thr: float)
         counts = np.zeros(n_bins)
         counts[pdf["bin_id"].to_numpy()] = pdf["c"].to_numpy()
         n = counts.sum()
-        p = counts / max(n, 1)
+        part = int(pdf["part_id"].iloc[0])
+        if n == 0:
+            # zero observations: drift is undefined — a typed ERROR verdict,
+            # same semantics as the modular drift_check (errors-as-values)
+            return pd.DataFrame(
+                {
+                    "constraint_id": [f"drift_ks:{col_name}", f"drift_psi:{col_name}"],
+                    "part_id": [part, part],
+                    "status": [ERROR, ERROR],
+                    "error_kind": [ERR_EMPTY_SERIES, ERR_EMPTY_SERIES],
+                    "rows_scanned": [0, 0],
+                    "violation_count": [1, 1],
+                }
+            )
+        p = counts / n
         ks = float(np.abs(p.cumsum() - ref_cum).max())
         pc = np.clip(p, _EPS, None)
         qc = np.clip(ref, _EPS, None)
         psi = float(((pc - qc) * np.log(pc / qc)).sum())
-        part = int(pdf["part_id"].iloc[0])
         return pd.DataFrame(
             {
                 "constraint_id": [f"drift_ks:{col_name}", f"drift_psi:{col_name}"],
                 "part_id": [part, part],
                 "status": [FAIL if ks > ks_thr else PASS, FAIL if psi > psi_thr else PASS],
+                "error_kind": [None, None],
                 "rows_scanned": [int(n), int(n)],
                 "violation_count": [int(ks > ks_thr), int(psi > psi_thr)],
             }
@@ -108,7 +124,8 @@ def _hist_verdicts(
     hist = wide.selectExpr("part_id", f"stack({n_bins}, {stack}) as (bin_id, c)")
     out = hist.groupBy("part_id").applyInPandas(
         _drift_kernel(ref, col_name, ks_thr, psi_thr),
-        schema="constraint_id string, part_id int, status string, rows_scanned long, violation_count long",
+        schema="constraint_id string, part_id int, status string, error_kind string, "
+        "rows_scanned long, violation_count long",
     )
     return out.withColumn("sample_violations", F.array().cast("array<string>"))
 
@@ -234,12 +251,22 @@ def _run_fused_passes(
     # of the pass instead of re-expanding the scan subtree each
     wide_a = d.groupBy("part_id").agg(*aggs).persist()
 
+    # driver-side structural schema comparison — same check the modular
+    # schema_assert does (ADVICE r1: a structurally drifted input must FAIL
+    # in fused mode too, not just on NULL-span counts)
+    schema_ok = [f.name for f in docs.schema.fields] == [
+        f.name for f in DOCUMENTS_SCHEMA.fields
+    ] and all(
+        _norm_type(docs.schema[f.name].dataType) == _norm_type(DOCUMENTS_SCHEMA[f.name].dataType)
+        for f in DOCUMENTS_SCHEMA.fields
+    )
+    schema_viol = F.col("null_spans") + F.lit(0 if schema_ok else 1)
     schema_v = wide_a.select(
         F.lit("schema_assert").alias("constraint_id"),
         "part_id",
-        F.when(F.col("null_spans") > 0, F.lit(FAIL)).otherwise(F.lit(PASS)).alias("status"),
+        F.when(schema_viol > 0, F.lit(FAIL)).otherwise(F.lit(PASS)).alias("status"),
         F.col("rows").alias("rows_scanned"),
-        F.col("null_spans").cast("long").alias("violation_count"),
+        schema_viol.cast("long").alias("violation_count"),
         F.col("null_samples").alias("sample_violations"),
     )
     stats_viol = F.col("ns_oob") + F.col("null_spans")  # max_null_rate=0.0
@@ -275,7 +302,26 @@ def _run_fused_passes(
         F.sum(F.when(F.col("tl").isNotNull() & (bin_tl == b), 1).otherwise(0)).alias(f"h_tl_{b}")
         for b in range(nb_tl)
     ]
-    wide_b = exj.groupBy("part_id").agg(*aggs_b).persist()
+    wide_b_raw = exj.groupBy("part_id").agg(*aggs_b)
+    # LEFT-join from Pass A's partition spine with zero-fill: a partition
+    # whose docs all have NULL/empty spans produces NO rows after explode,
+    # and without this its ref/text_len verdicts would never be emitted —
+    # leaving the (constraint, partition) pair pending on every resume
+    # (ADVICE r1; mirrors referential_check's per_part left join)
+    zero_fill = [
+        F.coalesce(F.col("orphans"), F.lit(0)).alias("orphans"),
+        F.coalesce(F.col("orphan_samples"), F.array().cast("array<string>")).alias(
+            "orphan_samples"
+        ),
+    ] + [
+        F.coalesce(F.col(f"h_tl_{b}"), F.lit(0)).alias(f"h_tl_{b}") for b in range(nb_tl)
+    ]
+    wide_b = (
+        wide_a.select("part_id")
+        .join(wide_b_raw, "part_id", "left")
+        .select("part_id", *zero_fill)
+        .persist()
+    )
 
     ref_v = (
         wide_b.join(wide_a.select("part_id", "rows"), "part_id")
@@ -323,10 +369,12 @@ def _run_fused_passes(
         )
     )
 
+    # drift verdicts carry error_kind (EmptySeriesError); the agg-based
+    # verdicts never error — allowMissingColumns fills theirs with NULL
     return (
         schema_v.unionByName(stats_v)
-        .unionByName(drift_ns_v)
-        .unionByName(ref_v)
-        .unionByName(drift_tl_v)
-        .unionByName(unique_v)
+        .unionByName(drift_ns_v, allowMissingColumns=True)
+        .unionByName(ref_v, allowMissingColumns=True)
+        .unionByName(drift_tl_v, allowMissingColumns=True)
+        .unionByName(unique_v, allowMissingColumns=True)
     )

@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sat_val_framework_spark.verdicts import FAIL, PASS
+from sat_val_framework_spark.verdicts import ERR_EMPTY_SERIES, ERROR, FAIL, PASS
 
 _EPS = 1e-6
 
@@ -30,21 +30,31 @@ def histogram(
     edges: tuple[float, float, int],
     part_col: str = "part_id",
     value_col: str = "value",
+    null_bin: bool = False,
 ) -> DataFrame:
     """(part_id, value) -> (part_id, bin_id, obs_count) with fixed uniform
     bins (lo0, width, n_bins) so bin edges match baseline_stats exactly
-    regardless of the data seen (SURVEY.md §7 hard part (c)). NULL values
-    are excluded (they are stats/schema territory)."""
+    regardless of the data seen (SURVEY.md §7 hard part (c)).
+
+    NULL values: excluded by default (they are stats/schema territory).
+    With ``null_bin=True`` they count into bin_id -1 instead — same single
+    scan/shuffle, but a partition whose series is ENTIRELY NULL still emits
+    a group, so downstream never silently drops it (a dropped partition
+    stays pending on every resume — ADVICE r1)."""
     lo0, width, n_bins = edges
     v = F.col(value_col).cast("double")
-    bin_id = F.least(
+    binned = F.least(
         F.greatest(F.floor((v - F.lit(lo0)) / F.lit(width)), F.lit(0)),
         F.lit(n_bins - 1),
     ).cast("int")
-    return (
-        series.filter(v.isNotNull())
-        .groupBy(F.col(part_col).alias("part_id"), bin_id.alias("bin_id"))
-        .agg(F.count(F.lit(1)).alias("obs_count"))
+    if null_bin:
+        bin_id = F.when(v.isNull(), F.lit(-1)).otherwise(binned)
+        src = series
+    else:
+        bin_id = binned
+        src = series.filter(v.isNotNull())
+    return src.groupBy(F.col(part_col).alias("part_id"), bin_id.alias("bin_id")).agg(
+        F.count(F.lit(1)).alias("obs_count")
     )
 
 
@@ -95,14 +105,20 @@ def drift_scores(
     ref_cum = ref.cumsum()
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        real = pdf[pdf["bin_id"] >= 0]  # bin -1 = the NULL bin (spine only)
         counts = np.zeros(n_bins)
-        counts[pdf["bin_id"].to_numpy()] = pdf["obs_count"].to_numpy()
+        counts[real["bin_id"].to_numpy()] = real["obs_count"].to_numpy()
         n = counts.sum()
-        p = counts / max(n, 1)
-        ks = float(np.abs(p.cumsum() - ref_cum).max())
-        pc = np.clip(p, _EPS, None)
-        qc = np.clip(ref, _EPS, None)
-        psi = float(((pc - qc) * np.log(pc / qc)).sum())
+        if n == 0:
+            # nothing to compare: the statistic is undefined, not zero —
+            # surfaced as NaN so drift_check emits a typed ERROR verdict
+            ks = psi = float("nan")
+        else:
+            p = counts / n
+            ks = float(np.abs(p.cumsum() - ref_cum).max())
+            pc = np.clip(p, _EPS, None)
+            qc = np.clip(ref, _EPS, None)
+            psi = float(((pc - qc) * np.log(pc / qc)).sum())
         return pd.DataFrame(
             {
                 "part_id": [int(pdf["part_id"].iloc[0])],
@@ -112,7 +128,7 @@ def drift_scores(
             }
         )
 
-    obs = histogram(series, edges, part_col, value_col)
+    obs = histogram(series, edges, part_col, value_col, null_bin=True)
     return obs.groupBy("part_id").applyInPandas(
         kernel, schema="part_id int, rows_scanned long, ks double, psi double"
     )
@@ -126,23 +142,39 @@ def drift_check(
     psi_threshold: float = 0.2,
     part_col: str = "part_id",
     value_col: str = "value",
+    stats: tuple[str, ...] = ("ks", "psi"),
 ) -> tuple[DataFrame, DataFrame]:
-    """-> (verdicts: one row per (drift_ks:<col> | drift_psi:<col>, part),
-    scores). Both statistics come from the same single-pass histogram."""
+    """-> (verdicts: one row per requested (drift_<stat>:<col>, part),
+    scores). All requested statistics come from the same single-pass
+    histogram; ``stats`` limits emission to the configured siblings (a suite
+    asking only for KS must not gain PSI verdicts with a made-up threshold —
+    ADVICE r1). A partition with zero non-NULL observations gets a typed
+    ERROR verdict (EmptySeriesError) instead of silently vanishing."""
     scores = drift_scores(series, baseline, col_name, part_col, value_col)
     empty_samples = F.array().cast("array<string>")
+    thresholds = {"ks": ks_threshold, "psi": psi_threshold}
 
-    def verdict(stat: str, threshold: float) -> DataFrame:
+    def verdict(stat: str) -> DataFrame:
+        threshold = thresholds[stat]
+        empty = F.col("rows_scanned") == 0
         return scores.select(
             F.lit(f"drift_{stat}:{col_name}").alias("constraint_id"),
             F.col("part_id"),
-            F.when(F.col(stat) > threshold, F.lit(FAIL)).otherwise(F.lit(PASS)).alias("status"),
+            F.when(empty, F.lit(ERROR))
+            .when(F.col(stat) > threshold, F.lit(FAIL))
+            .otherwise(F.lit(PASS))
+            .alias("status"),
+            F.when(empty, F.lit(ERR_EMPTY_SERIES)).alias("error_kind"),
             F.col("rows_scanned"),
-            F.when(F.col(stat) > threshold, F.lit(1)).otherwise(F.lit(0)).cast("long").alias(
-                "violation_count"
-            ),
+            F.when(empty | (F.col(stat) > threshold), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("violation_count"),
             empty_samples.alias("sample_violations"),
         )
 
-    verdicts = verdict("ks", ks_threshold).unionByName(verdict("psi", psi_threshold))
+    parts = [verdict(s) for s in stats]
+    verdicts = parts[0]
+    for v in parts[1:]:
+        verdicts = verdicts.unionByName(v)
     return verdicts, scores

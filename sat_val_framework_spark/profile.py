@@ -27,15 +27,18 @@ def n_spans_series(docs: DataFrame, part_col: str = "part_id") -> DataFrame:
 
 
 def text_len_series(docs: DataFrame, part_col: str = "part_id") -> DataFrame:
-    """One row per text span: its character length. Lengths are computed
+    """One row per span (NULL value for non-text spans and for docs with
+    NULL/empty spans — explode_outer keeps them). Lengths are computed
     inside the array BEFORE exploding so the explode fans out ints, not the
-    span strings themselves (less row churn on wide text)."""
+    span strings themselves (less row churn on wide text).
+
+    NULL rows are kept ON PURPOSE: the drift histogram folds them into its
+    NULL bin, so a partition whose docs are all media/null-spans still
+    emits a verdict instead of staying pending forever (ADVICE r1)."""
     lens = F.transform(
         "spans",
         lambda s: F.when(s["kind"] == "text", F.length(s["text"])),
     )
-    return (
-        docs.select(part_col, F.explode(lens).alias("v"))
-        .filter(F.col("v").isNotNull())
-        .select(part_col, F.col("v").cast("double").alias("value"))
+    return docs.select(part_col, F.explode_outer(lens).alias("v")).select(
+        part_col, F.col("v").cast("double").alias("value")
     )

@@ -32,7 +32,12 @@ from sat_val_framework_spark.operators import (
 from sat_val_framework_spark.operators.stats import StatSpec
 from sat_val_framework_spark.operators.subset import subset_check
 from sat_val_framework_spark.suite import Check, CheckSuite
-from sat_val_framework_spark.verdicts import finalize_verdicts
+from sat_val_framework_spark.verdicts import (
+    RETRYABLE_ERROR_KINDS,
+    error_kind_of,
+    error_verdicts,
+    finalize_verdicts,
+)
 
 DEFAULT_SUITE = CheckSuite(
     checks=[
@@ -75,11 +80,18 @@ def run_suite(
     run_id: str | None = None,
     snapshot_id: str = "",
     part_col: str = "part_id",
+    raise_on_error: bool = False,
 ) -> RunResult:
     """Run every check in the suite, checkpointing per-check verdicts.
 
     Resumable: pairs already in the checkpoint for ``run_id`` are skipped and
     the remaining partitions are pushed down as a filter (partition pruning).
+
+    Errors are values (implement.py:23-56): a check that cannot evaluate —
+    missing dim table, unreadable partition, bad predicate — emits one
+    ``status=ERROR`` verdict row per pending partition with a typed
+    ``error_kind``, instead of killing the run. ``raise_on_error=True``
+    restores fail-fast for debugging.
     """
     suite.validate_or_raise(docs, part_col)
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -95,6 +107,10 @@ def run_suite(
         done_pairs = {
             (r["constraint_id"], r["part_id"])
             for r in existing.filter(F.col("run_id") == run_id)
+            # retryable ERROR verdicts don't count as done: a resumed run
+            # re-evaluates exactly those pairs after the environment is fixed
+            # (the newest row wins on read, so the ERROR is superseded)
+            .filter(~F.coalesce(F.col("error_kind"), F.lit("")).isin(*RETRYABLE_ERROR_KINDS))
             .select("constraint_id", "part_id")
             .distinct()
             .collect()
@@ -103,29 +119,38 @@ def run_suite(
     collected: list[DataFrame] = []
     skipped: list[str] = []
 
-    # drift checks on the same column share one histogram+score pass
-    drift_cols: dict[str, dict[str, float]] = {}
+    # drift checks on the same column share one histogram+score pass; keep
+    # the Check objects so each sibling is emitted with ITS OWN params_json
+    # and only requested statistics are computed (ADVICE r1)
+    drift_cols: dict[str, dict[str, Check]] = {}
     for c in suite.checks:
         if c.kind in ("drift_ks", "drift_psi"):
-            drift_cols.setdefault(c.column, {})[c.kind] = float(c.params["threshold"])
+            drift_cols.setdefault(c.column, {})[c.kind] = c
+
+    def pending_ids(cids: list[str]) -> list[int] | None:
+        """Partition ids with ANY listed constraint not yet checkpointed;
+        None = everything pending (no checkpoint). Driver-side only — safe
+        to consult BEFORE paying for any scan."""
+        if existing is None or all_part_ids is None:
+            return None
+        done = set(all_part_ids)
+        for cid in cids:
+            done &= {p for (c, p) in done_pairs if c == cid}
+        return sorted(all_part_ids - done)
 
     def pending_filter(constraint_id: str | list[str], df: DataFrame) -> tuple[DataFrame, bool]:
         """Restrict to partitions not yet checkpointed for this constraint
         (left-anti-join resume, here as a pushed-down isin filter so the
         scan prunes completed partitions). A list means a shared pass: a
         partition is skippable only if EVERY listed constraint is done."""
-        if existing is None or all_part_ids is None:
-            return df, True
         cids = [constraint_id] if isinstance(constraint_id, str) else list(constraint_id)
-        done = set(all_part_ids)
-        for cid in cids:
-            done &= {p for (c, p) in done_pairs if c == cid}
-        ids = sorted(all_part_ids - done)
-        if len(ids) == len(all_part_ids):
+        ids = pending_ids(cids)
+        if ids is None or len(ids) == len(all_part_ids):
             return df, True
         if not ids:
             return df, False
-        skipped.extend(f"{cid}:{p}" for cid in cids for p in sorted(done))
+        done = sorted(all_part_ids - set(ids))
+        skipped.extend(f"{cid}:{p}" for cid in cids for p in done)
         return df.filter(F.col(part_col).isin(ids)), True
 
     def emit(check_out: DataFrame, params_json: str, t0: float) -> None:
@@ -136,14 +161,12 @@ def run_suite(
             ckpt.append_verdicts(v, checkpoint_path)
         collected.append(v)
 
-    seen_drift: set[str] = set()
-    for c in suite.checks:
-        t0 = time.time()
+    def run_check(c: Check, t0: float) -> None:
         if c.kind == "schema_assert":
             scoped, todo = pending_filter(c.constraint_id, docs)
             if not todo:
                 skipped.append(c.constraint_id)
-                continue
+                return
             out = schema_assert(
                 scoped, DOCUMENTS_SCHEMA, part_col, tuple(c.params.get("not_null", ()))
             )
@@ -152,7 +175,7 @@ def run_suite(
             scoped, todo = pending_filter(c.constraint_id, profile.with_n_spans(docs))
             if not todo:
                 skipped.append(c.constraint_id)
-                continue
+                return
             spec = StatSpec(
                 c.column,
                 max_null_rate=float(c.params.get("max_null_rate", 1.0)),
@@ -163,16 +186,19 @@ def run_suite(
             emit(out, c.params_json, t0)
         elif c.kind == "unique":
             # uniqueness is global: a resumed run must still scan all rows to
-            # find cross-partition duplicates, then keep only pending verdicts
+            # find cross-partition duplicates — but check the pending set
+            # FIRST so a fully-completed resume pays nothing (the violations
+            # write below is eager and runs the whole duplicate scan)
+            ids = pending_ids([c.constraint_id])
+            if ids is not None and not ids:
+                skipped.append(c.constraint_id)
+                return
             out, viol = uniqueness_check(docs, c.column, part_col)
             if violations_path:
                 ckpt.append_violations(
                     viol, violations_path, run_id, c.constraint_id, key_col="violation_key"
                 )
-            scoped, todo = pending_filter(c.constraint_id, out.withColumnRenamed("part_id", part_col))
-            if not todo:
-                skipped.append(c.constraint_id)
-                continue
+            scoped, _ = pending_filter(c.constraint_id, out.withColumnRenamed("part_id", part_col))
             emit(scoped.withColumnRenamed(part_col, "part_id"), c.params_json, t0)
         elif c.kind == "ref":
             if catalog is None:
@@ -180,7 +206,7 @@ def run_suite(
             scoped, todo = pending_filter(c.constraint_id, docs)
             if not todo:
                 skipped.append(c.constraint_id)
-                continue
+                return
             out, viol = referential_check(
                 scoped,
                 catalog,
@@ -196,30 +222,34 @@ def run_suite(
         elif c.kind in ("drift_ks", "drift_psi"):
             if baseline is None:
                 raise ValueError("drift checks require baseline=")
-            if c.column in seen_drift:
-                continue  # sibling stat already emitted by the shared pass
-            seen_drift.add(c.column)
-            thresholds = drift_cols[c.column]
+            siblings = drift_cols[c.column]  # {kind: Check} for this column
             series = _series_for(docs, c.column, part_col)
-            sibling_ids = [f"{k}:{c.column}" for k in thresholds]
+            sibling_ids = [sib.constraint_id for sib in siblings.values()]
             scoped, todo = pending_filter(sibling_ids, series)
             if not todo:
                 skipped.append(c.constraint_id)
-                continue
+                return
             out, _scores = drift_check(
                 scoped,
                 baseline,
                 c.column,
-                ks_threshold=thresholds.get("drift_ks", 0.15),
-                psi_threshold=thresholds.get("drift_psi", 0.2),
+                ks_threshold=float(siblings["drift_ks"].params["threshold"])
+                if "drift_ks" in siblings
+                else 0.15,
+                psi_threshold=float(siblings["drift_psi"].params["threshold"])
+                if "drift_psi" in siblings
+                else 0.2,
                 part_col=part_col,
+                stats=tuple(k.removeprefix("drift_") for k in siblings),
             )
-            emit(out, c.params_json, t0)
+            # one shared pass, but each sibling's rows carry its own params
+            for sib in siblings.values():
+                emit(out.filter(F.col("constraint_id") == sib.constraint_id), sib.params_json, t0)
         elif c.kind == "subset":
             scoped, todo = pending_filter(c.constraint_id, docs)
             if not todo:
                 skipped.append(c.constraint_id)
-                continue
+                return
             _surv, out, viol = subset_check(
                 scoped, c.params["predicate"], c.constraint_id, part_col
             )
@@ -234,11 +264,43 @@ def run_suite(
             scoped, todo = pending_filter(c.constraint_id, docs)
             if not todo:
                 skipped.append(c.constraint_id)
-                continue
+                return
             out, _mm = span_seq_check(scoped, expected_docs, part_col)
             emit(out, c.params_json, t0)
         else:  # pragma: no cover - suite.validate blocks unknown kinds
             raise ValueError(f"unhandled check kind {c.kind}")
+
+    seen_drift: set[str] = set()
+    for c in suite.checks:
+        t0 = time.time()
+        if c.kind in ("drift_ks", "drift_psi"):
+            if c.column in seen_drift:
+                continue  # sibling stat already handled by the shared pass
+            seen_drift.add(c.column)
+        try:
+            run_check(c, t0)
+        except Exception as exc:  # noqa: BLE001 — A1 errors-as-values
+            if raise_on_error:
+                raise
+            # the reference's core trick (implement.py:23-56): a check that
+            # cannot evaluate returns a typed error VALUE. Engine form: one
+            # status=ERROR verdict row per pending partition, tagged with
+            # the error kind — the run continues, the failure is queryable,
+            # and resume retries exactly these pairs after the fix.
+            kind = error_kind_of(exc)
+            affected = (
+                list(drift_cols[c.column].values())
+                if c.kind in ("drift_ks", "drift_psi")
+                else [c]
+            )
+            for chk in affected:
+                ids = pending_ids([chk.constraint_id])
+                parts = all_parts if ids is None else all_parts.filter(F.col("part_id").isin(ids))
+                emit(
+                    error_verdicts(parts, chk.constraint_id, kind, str(exc)),
+                    chk.params_json,
+                    t0,
+                )
 
     if collected:
         verdicts = collected[0]

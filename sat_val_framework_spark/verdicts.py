@@ -18,12 +18,31 @@ PASS = "PASS"
 FAIL = "FAIL"
 ERROR = "ERROR"
 
+# typed error vocabulary — the engine twin of the reference's
+# ``LoadingErrors = FileNotFoundError | InvalidSubsetError`` domain alias
+# (implement.py:18-20): a check that CANNOT evaluate yields a status=ERROR
+# verdict row tagged with one of these kinds, never a driver raise.
+ERR_FILE_NOT_FOUND = "FileNotFoundError"
+ERR_MISSING_INPUT = "MissingInputError"
+ERR_ANALYSIS = "AnalysisError"
+ERR_EMPTY_SERIES = "EmptySeriesError"
+ERR_EXECUTION = "ExecutionError"
+
+# environment-caused errors: the pair is NOT counted done, so a resumed run
+# retries it after the fix. EmptySeriesError is data-inherent — retrying is
+# deterministic sameness, so it counts as done (else resume re-runs forever,
+# the exact failure mode the no-clobber checkpoint exists to prevent).
+RETRYABLE_ERROR_KINDS = frozenset(
+    {ERR_FILE_NOT_FOUND, ERR_MISSING_INPUT, ERR_ANALYSIS, ERR_EXECUTION}
+)
+
 VERDICT_SCHEMA = T.StructType(
     [
         T.StructField("run_id", T.StringType(), False),
         T.StructField("constraint_id", T.StringType(), False),
         T.StructField("part_id", T.IntegerType(), False),
         T.StructField("status", T.StringType(), False),
+        T.StructField("error_kind", T.StringType(), True),
         T.StructField("rows_scanned", T.LongType(), True),
         T.StructField("violation_count", T.LongType(), True),
         T.StructField("sample_violations", T.ArrayType(T.StringType()), True),
@@ -33,6 +52,43 @@ VERDICT_SCHEMA = T.StructType(
         T.StructField("ts", T.TimestampType(), True),
     ]
 )
+
+
+def error_kind_of(exc: BaseException) -> str:
+    """Map an exception to the typed error vocabulary (implement.py:45-53
+    unpacks typed payloads from AssertionError the same way: by kind)."""
+    try:
+        from pyspark.errors import AnalysisException
+    except ImportError:  # pragma: no cover
+        AnalysisException = ()  # type: ignore[assignment]
+    if isinstance(exc, FileNotFoundError):
+        return ERR_FILE_NOT_FOUND
+    if isinstance(exc, AnalysisException):
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "TABLE_OR_VIEW_NOT_FOUND" in msg:
+            return ERR_FILE_NOT_FOUND
+        return ERR_ANALYSIS
+    if isinstance(exc, (ValueError, KeyError, TypeError)):
+        return ERR_MISSING_INPUT
+    return ERR_EXECUTION
+
+
+def error_verdicts(
+    parts: DataFrame, constraint_id: str, error_kind: str, message: str
+) -> DataFrame:
+    """One status=ERROR verdict row per pending partition for a check that
+    could not evaluate (errors-as-values, implement.py:23-56): the failure
+    is data in the metrics table — resumable, diffable, alertable — instead
+    of a stack trace that kills the other 10^6 partitions' run."""
+    return parts.select(
+        F.lit(constraint_id).alias("constraint_id"),
+        F.col("part_id"),
+        F.lit(ERROR).alias("status"),
+        F.lit(error_kind).alias("error_kind"),
+        F.lit(None).cast("long").alias("rows_scanned"),
+        F.lit(1).cast("long").alias("violation_count"),
+        F.array(F.lit(message[:500])).alias("sample_violations"),
+    )
 
 # columns a check itself must produce; the runner stamps the lineage rest
 CHECK_OUTPUT_COLS = ["constraint_id", "part_id", "status", "rows_scanned", "violation_count", "sample_violations"]
@@ -47,11 +103,16 @@ def finalize_verdicts(
 ) -> DataFrame:
     """Stamp lineage columns (RawMetadata contract, implement.py:81-86) onto a
     check's raw output and conform it to VERDICT_SCHEMA."""
+    error_kind = (
+        F.col("error_kind") if "error_kind" in check_out.columns
+        else F.lit(None).cast("string")
+    )
     return check_out.select(
         F.lit(run_id).alias("run_id"),
         F.col("constraint_id"),
         F.col("part_id").cast("int").alias("part_id"),
         F.col("status"),
+        error_kind.alias("error_kind"),
         F.col("rows_scanned").cast("long").alias("rows_scanned"),
         F.col("violation_count").cast("long").alias("violation_count"),
         F.col("sample_violations"),

@@ -62,3 +62,55 @@ def test_fused_shares_pass_results(spark, docs, catalog, baseline):
     verdicts = run_suite_fused(spark, docs, catalog, baseline)
     plan = verdicts._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
+
+
+def test_fused_matches_modular_on_structural_schema_drift(spark, docs, catalog, baseline):
+    """A structurally drifted input (extra column) must FAIL schema_assert in
+    fused mode exactly like the modular runner (ADVICE r1)."""
+    from pyspark.sql import functions as F
+
+    drifted = docs.withColumn("rogue_col", F.lit(1))
+    modular = run_suite(
+        spark, drifted, DEFAULT_SUITE, catalog=catalog, baseline=baseline
+    ).verdicts.collect()
+    fused = run_suite_fused(spark, drifted, catalog, baseline).collect()
+    mk, fk = _key(modular), _key(fused)
+    m_schema = {k: v for k, v in mk.items() if k[0] == "schema_assert"}
+    f_schema = {k: v for k, v in fk.items() if k[0] == "schema_assert"}
+    assert m_schema == f_schema
+    assert all(v[0] == "FAIL" for v in f_schema.values())
+
+
+def test_fused_matches_modular_with_all_null_spans_partition(spark, catalog, baseline):
+    """A partition whose docs ALL have NULL spans must still get a verdict
+    for EVERY constraint in fused mode (no silently-dropped pending pair)."""
+    from pyspark.sql import functions as F
+
+    from sat_val_framework_spark import fixtures as fx
+    from sat_val_framework_spark.fused import FUSED_CONSTRAINT_IDS
+
+    base = fx.documents_df(spark, 800, n_parts=4)
+    docs2 = base.withColumn(
+        "spans",
+        F.when(F.col("part_id") == 2, F.lit(None).cast(fx.DOCUMENTS_SCHEMA["spans"].dataType))
+        .otherwise(F.col("spans")),
+    )
+    modular = run_suite(
+        spark, docs2, DEFAULT_SUITE, catalog=catalog, baseline=baseline
+    ).verdicts.collect()
+    fused = run_suite_fused(spark, docs2, catalog, baseline).collect()
+    mk, fk = _key(modular), _key(fused)
+    # every (constraint, partition) pair is present on BOTH paths
+    expected_pairs = {(cid, p) for cid in FUSED_CONSTRAINT_IDS for p in range(4)}
+    assert set(fk) == expected_pairs
+    assert set(mk) == expected_pairs
+    for k in mk:
+        assert mk[k] == fk[k], (k, mk[k], fk[k])
+    # the empty partition's drift verdicts are typed ERRORs on both paths
+    f_err = {r["constraint_id"]: r for r in fused if r["part_id"] == 2 and r["status"] == "ERROR"}
+    # n_spans is NULL everywhere on part 2 too, so BOTH drift columns error
+    assert set(f_err) == {
+        "drift_ks:text_len", "drift_psi:text_len",
+        "drift_ks:n_spans", "drift_psi:n_spans",
+    }
+    assert all(r["error_kind"] == "EmptySeriesError" for r in f_err.values())
