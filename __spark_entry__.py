@@ -36,7 +36,9 @@ def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     splits already and this is a no-op."""
     df = _t(spark, sf_dir, name)
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    # inputFiles() is catalog metadata — unlike df.rdd.getNumPartitions()
+    # it doesn't build an RDD lineage per query
+    if len(df.inputFiles()) < par:
         df = df.repartition(par)
     return df
 

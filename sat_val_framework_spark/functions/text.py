@@ -82,14 +82,31 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 
 def fingerprint(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", window: int = 32
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    hash_fn: str = "md5",
 ) -> DataFrame:
-    """Rolling-hash document fingerprint: min md5 over all ``window``-char
+    """Rolling-hash document fingerprint: min hash over all ``window``-char
     substrings (a 1-hash winnowing sketch). Two docs sharing any long run of
-    text collide with high probability — a cheap near-dup prefilter."""
+    text collide with high probability — a cheap near-dup prefilter.
+
+    hash_fn='md5' (default) is bit-reproducible in ANSI SQL (the DuckDB
+    oracle twin); hash_fn='xxhash64' is the production path — the hash IS
+    the cost at 100 TB (one hash per char position), and xxhash64 is a JVM
+    intrinsic on longs with no hex-string materialization (same precedent
+    as minhash_signature's fast path; speedup recorded in BENCH/BASELINE.md).
+    Output is cast to string so the schema is hash_fn-independent."""
     t = F.col(text_col)
     n = F.greatest(F.length(t) - (window - 1), F.lit(1))
-    mins = F.array_min(
-        F.transform(F.sequence(F.lit(1), n), lambda j: F.md5(t.substr(j, F.lit(window))))
+    if hash_fn == "md5":
+        h = lambda j: F.md5(t.substr(j, F.lit(window)))  # noqa: E731
+    elif hash_fn == "xxhash64":
+        h = lambda j: F.xxhash64(t.substr(j, F.lit(window)))  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash_fn '{hash_fn}'")
+    mins = F.array_min(F.transform(F.sequence(F.lit(1), n), h))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), mins.cast("string").alias("fingerprint")
     )
-    return docs.select(F.col(id_col).alias("doc_id"), mins.alias("fingerprint"))

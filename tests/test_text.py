@@ -76,3 +76,27 @@ def test_fingerprint_shared_run_collides(spark):
     got = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(df).collect()}
     # min-hash over a long shared window usually lands inside the shared run
     assert got[1] == got[2]
+
+
+def test_fingerprint_xxhash_variant_same_collision_structure(spark):
+    """The xxhash64 fast path must preserve the winnowing property: docs
+    sharing a >=window char run collide; unrelated docs don't (same contract
+    as the md5 oracle path, different hash family)."""
+    from sat_val_framework_spark.functions.text import fingerprint
+
+    import random
+
+    random.seed(1)
+    # a 600-char shared run dominates the window population, so the min-hash
+    # window lands inside it (verified for BOTH hash families on this seed)
+    shared = "".join(random.choice("abcdefgh ") for _ in range(600))
+    rows = [
+        (1, "A" + shared),
+        (2, "B" + shared + "QQ"),
+        (3, "unrelated text " * 40),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for fn in ("md5", "xxhash64"):
+        fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs, hash_fn=fn).collect()}
+        assert fp[1] == fp[2], fn
+        assert fp[3] != fp[1], fn
