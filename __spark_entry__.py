@@ -279,6 +279,21 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_count(_t_wide(spark, sf_dir, "documents"))
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token count (pre-tokenizer match count) — the
+    training-token budget proxy; whitespace count is q_token_count."""
+    return text.token_count_bpe(_t_wide(spark, sf_dir, "documents"))
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving image resize plumbing (mapInPandas over binary
+    content; pixel resample stubbed deterministically, geometry real)."""
+    from sat_val_framework_spark.fixtures import media_catalog_df
+
+    media = multimodal.media_table(media_catalog_df(spark, 500))
+    return multimodal.resize_images(media, max_side=32)
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(_t_wide(spark, sf_dir, "documents"))
 
@@ -517,6 +532,32 @@ def q_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact distinct counts (cardinality profile; the
+    approx_count_distinct HLL path is the 10^12-row variant, pytest-checked
+    against this exact one)."""
+    from sat_val_framework_spark.operators.stats import cardinality_profile
+
+    d = _t(spark, sf_dir, "documents")
+    return cardinality_profile(d, ["doc_id", "text"], "source")
+
+
+def q_frequent_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter profile: top-10 part keys by lineitem frequency."""
+    from sat_val_framework_spark.operators.stats import frequent_values
+
+    return frequent_values(_t(spark, sf_dir, "lineitem"), "l_partkey", k=10)
+
+
+def q_value_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the event_type distribution per user bucket —
+    categorical-degeneracy drift signal."""
+    from sat_val_framework_spark.operators.stats import distribution_entropy
+
+    e = _t(spark, sf_dir, "events").withColumn("bucket", F.col("user_id") % 10)
+    return distribution_entropy(e, "event_type", "bucket")
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic OLAP shape: TPC-H Q1-style wide aggregation."""
     li = _t(spark, sf_dir, "lineitem")
@@ -574,6 +615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
+        "media_resize": q_media_resize,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "ann_threshold": q_ann_threshold,
@@ -595,6 +638,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "cube_revenue": q_cube_revenue,
         "running_totals": q_running_totals,
+        "cardinality_profile": q_cardinality_profile,
+        "frequent_values": q_frequent_values,
+        "value_entropy": q_value_entropy,
     }
 
 
@@ -626,6 +672,12 @@ def _simhash_sql() -> str:
     )
     return bits
 
+
+# BPE pre-tokenizer pattern for the DuckDB twin (RE2): same lookahead-free
+# pattern as text.BPE_TOKEN_RE, with the quote doubled for a SQL literal
+from sat_val_framework_spark.functions.text import BPE_TOKEN_RE as _BPE_RE
+
+_BPE_RE_SQL = _BPE_RE.replace("'", "''")
 
 # MinHash->LSH banding CTE chain, shared by the minhash_lsh oracle and the
 # dedup_jaccard (LSH->verify) oracle. Mirrors dedup.minhash_signature +
@@ -835,6 +887,29 @@ def oracle_sql() -> dict[str, str]:
         "token_count": f"""
             SELECT doc_id, len({_TOKS})::bigint AS n_tokens FROM documents
         """,
+        "token_count_bpe": f"""
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE len(regexp_extract_all(text, '{_BPE_RE_SQL}'))
+                   END::bigint AS n_bpe_tokens
+            FROM documents
+        """,
+        # geometry is exact: fixture images are 64x64, max_side=32 -> scale
+        # 0.5, 32x32; resized_hash = md5(content bytes || '|WxH') both sides
+        "media_resize": f"""
+            WITH cat AS ({_MEDIA_CAT_SQL}),
+            m AS (SELECT media_ref, media_type,
+                         'media-bytes:' || media_ref || ':' || repeat(chr(1) || chr(2), 64) AS s
+                  FROM cat)
+            SELECT media_ref, media_type,
+                   (CASE WHEN media_type = 'image' THEN 64 END)::int AS orig_w,
+                   (CASE WHEN media_type = 'image' THEN 64 END)::int AS orig_h,
+                   (CASE WHEN media_type = 'image' THEN 32 END)::int AS out_w,
+                   (CASE WHEN media_type = 'image' THEN 32 END)::int AS out_h,
+                   (CASE WHEN media_type = 'image' THEN 0.5 END)::double AS scale,
+                   CASE WHEN media_type = 'image' THEN md5(s || '|32x32') END AS resized_hash
+            FROM m
+        """,
         "quality_score": f"""
             WITH x AS (
                 SELECT doc_id,
@@ -1014,6 +1089,28 @@ def oracle_sql() -> dict[str, str]:
                   ON a.band_id = b.band_id AND a.key = b.key AND a.vec_id < b.vec_id),
             agg AS (SELECT vec_a, vec_b, round(max(s), 6) AS cos_sim FROM hits GROUP BY 1, 2)
             SELECT vec_a, vec_b, cos_sim FROM agg WHERE cos_sim >= 0.4
+        """,
+        "cardinality_profile": """
+            SELECT source AS grp, count(*) AS n_rows,
+                   count(DISTINCT doc_id) AS n_distinct_doc_id,
+                   count(DISTINCT text) AS n_distinct_text
+            FROM documents GROUP BY source
+        """,
+        "frequent_values": """
+            SELECT value, n, rank FROM (
+                SELECT l_partkey::varchar AS value, count(*) AS n,
+                       -- tie-break on the NUMERIC key (Spark ranks before
+                       -- the final ::string cast)
+                       row_number() OVER (ORDER BY count(*) DESC, l_partkey) AS rank
+                FROM lineitem GROUP BY l_partkey)
+            WHERE rank <= 10
+        """,
+        "value_entropy": """
+            WITH c AS (SELECT user_id % 10 AS grp, event_type AS v, count(*) AS c
+                       FROM events GROUP BY 1, 2)
+            SELECT grp, sum(c)::bigint AS n_rows,
+                   round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+            FROM c GROUP BY grp
         """,
         # sign-bucket LSH: bucket key = sign bits of dims 0..7 (DuckDB lists
         # are 1-based -> embedding[1..8]); then exact cosine within bucket

@@ -116,6 +116,65 @@ def decode_features(media: DataFrame, batch_rows: int = 1024) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "media_ref string, media_type string, orig_w int, orig_h int, "
+    "out_w int, out_h int, scale double, resized_hash string"
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 32, batch_rows: int = 1024) -> DataFrame:
+    """Aspect-preserving image resize over the binary column via mapInPandas
+    (Arrow batches — the exact plumbing a PIL/opencv resize UDF uses).
+
+    The geometry (scale factor, output dims) is real; the pixel resample is
+    STUBBED like decode (no image libs in this container): the deterministic
+    stand-in hashes (content, out_w, out_h) so downstream dedup/caching
+    behaves exactly as with real resized bytes. Non-image rows pass through
+    with NULL dims. Batch size bounded — a partition of large blobs cannot
+    blow executor memory."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                w = chunk["meta"].map(lambda m: m["width"] if m is not None else None)
+                h = chunk["meta"].map(lambda m: m["height"] if m is not None else None)
+                is_img = chunk["media_type"].eq("image") & w.notna() & h.notna()
+                longest = pd.concat([w, h], axis=1).max(axis=1)
+                scale = (max_side / longest).clip(upper=1.0).where(is_img)
+                out_w = (w * scale).round().astype("Int64").where(is_img)
+                out_h = (h * scale).round().astype("Int64").where(is_img)
+                scale = scale.astype("Float64")  # nullable: NULL (not NaN) for non-images
+
+                def _hash(row):
+                    if not is_img.loc[row.name]:
+                        return None
+                    try:
+                        _decode_real(row["content"], "image")  # no real codec here
+                    except NotImplementedError:
+                        pass
+                    key = (row["content"] or b"") + b"|%dx%d" % (
+                        out_w.loc[row.name], out_h.loc[row.name]
+                    )
+                    return hashlib.md5(key).hexdigest()
+
+                yield pd.DataFrame(
+                    {
+                        "media_ref": chunk["media_ref"],
+                        "media_type": chunk["media_type"],
+                        "orig_w": w.astype("Int64"),
+                        "orig_h": h.astype("Int64"),
+                        "out_w": out_w,
+                        "out_h": out_h,
+                        "scale": scale.astype("float64"),
+                        "resized_hash": chunk.apply(_hash, axis=1) if len(chunk) else pd.Series(dtype=object),
+                    }
+                )
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """Video/audio frame-sampling *plan*: for each media item, the timestamps
     a decoder would extract. Pure column expressions; the decode itself is

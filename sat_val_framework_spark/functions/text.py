@@ -36,6 +36,27 @@ def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+# BPE-style pre-tokenizer pattern (GPT-2 lineage, lookahead-free so it means
+# the same thing under Java regex (Spark) and RE2 (DuckDB)): contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs, then
+# whitespace runs. Token count under this pattern tracks BPE token count far
+# better than whitespace splitting (punctuation and numbers count separately).
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}']+|\s+"
+
+
+def token_count_bpe(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BPE-ish token count: number of pre-tokenizer matches. Pure JVM-side
+    regexp_count — the cheap proxy a 100 TB pipeline uses to budget training
+    tokens without running a real tokenizer over every document."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(t.isNotNull(), F.regexp_count(t, F.lit(BPE_TOKEN_RE))).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
 def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Length / punctuation / stopword heuristics -> one quality score.
 

@@ -80,6 +80,59 @@ def schema_assert(
     )
 
 
+def cardinality_profile(
+    df: DataFrame, cols: list[str], group_col: str, approx: bool = False
+) -> DataFrame:
+    """Per-group distinct-value counts for the listed columns — the
+    cardinality profile backing uniqueness/ratio checks (B3 family).
+
+    approx=False uses exact count_distinct (Spark's partial-distinct
+    two-phase agg; oracle-able). approx=True switches every column to
+    approx_count_distinct (HLL sketch, one pass, constant memory) — the
+    10^12-row path where exact distinct would shuffle every value."""
+    fn = F.approx_count_distinct if approx else F.count_distinct
+    return df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[fn(F.col(c)).alias(f"n_distinct_{c}") for c in cols],
+    )
+
+
+def frequent_values(df: DataFrame, col: str, k: int = 10) -> DataFrame:
+    """Top-k most frequent values of a column (heavy-hitter profile):
+    dominant-value detection is how a validation suite catches a column
+    collapsing to a constant. groupBy-count partial-aggregates map-side, so
+    only distinct values cross the shuffle; ties break on the value for
+    determinism at any parallelism."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(col).alias("value")).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("value"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("value").cast("string").alias("value"), "n", "rank")
+    )
+
+
+def distribution_entropy(df: DataFrame, col: str, group_col: str) -> DataFrame:
+    """Shannon entropy (nats) of a categorical column per group — a scalar
+    drift/degeneracy signal (entropy -> 0 = column collapsing). Two chained
+    hash-aggs, both partial-aggregated; no data rows cross to the driver."""
+    counts = df.groupBy(F.col(group_col).alias("grp"), F.col(col).alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_grp = counts.groupBy("grp").agg(
+        F.sum("c").alias("n"),
+        # H = ln(n) - sum(c*ln c)/n  (algebraic form avoids a second join)
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("clogc"),
+    )
+    return per_grp.select(
+        "grp",
+        F.col("n").alias("n_rows"),
+        F.round(F.log(F.col("n")) - F.col("clogc") / F.col("n"), 6).alias("entropy"),
+    )
+
+
 def column_stats(
     df: DataFrame,
     specs: list[StatSpec],

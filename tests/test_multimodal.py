@@ -55,3 +55,29 @@ def test_frame_sample_plan(spark):
             assert r["sample_ts_ms"] == [0, 300, 600, 900]
         else:  # images have no duration
             assert r["sample_ts_ms"] == []
+
+
+def test_resize_images_geometry_and_nulls(spark):
+    from sat_val_framework_spark.fixtures import media_catalog_df
+    from sat_val_framework_spark.functions.multimodal import media_table, resize_images
+
+    media = media_table(media_catalog_df(spark, 40))
+    got = {r["media_ref"]: r for r in resize_images(media, max_side=16).collect()}
+    assert len(got) == 40
+    for ref, r in got.items():
+        i = int(ref.split("-")[1])
+        if i % 2 == 0:  # image: 64x64 -> 16x16 at scale 0.25
+            assert (r["orig_w"], r["orig_h"], r["out_w"], r["out_h"]) == (64, 64, 16, 16)
+            assert r["scale"] == 0.25
+            assert r["resized_hash"] is not None and len(r["resized_hash"]) == 32
+        else:  # audio: passthrough with NULL geometry
+            assert r["out_w"] is None and r["scale"] is None and r["resized_hash"] is None
+
+
+def test_resize_never_upscales(spark):
+    from sat_val_framework_spark.fixtures import media_catalog_df
+    from sat_val_framework_spark.functions.multimodal import media_table, resize_images
+
+    media = media_table(media_catalog_df(spark, 10))
+    got = resize_images(media, max_side=4096).filter("media_type = 'image'").collect()
+    assert all(r["scale"] == 1.0 and r["out_w"] == 64 for r in got)

@@ -57,3 +57,42 @@ def test_single_fused_aggregation(docs):
     # either branch reuses the same exchange. Count HashAggregate pairs.
     plan = verdicts._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ") <= 2  # union of two branches over one cached agg at most
+
+
+def test_cardinality_profile_exact_and_approx(spark):
+    from sat_val_framework_spark.operators.stats import cardinality_profile
+
+    rows = [(i, f"d{i % 50}", f"g{i % 2}") for i in range(400)]
+    df = spark.createDataFrame(rows, ["i", "d", "g"])
+    exact = {r["grp"]: r["n_distinct_d"] for r in cardinality_profile(df, ["d"], "g").collect()}
+    assert exact == {"g0": 25, "g1": 25}
+    # HLL path: within its standard error at this tiny cardinality
+    approx = {
+        r["grp"]: r["n_distinct_d"]
+        for r in cardinality_profile(df, ["d"], "g", approx=True).collect()
+    }
+    for g in exact:
+        assert abs(approx[g] - exact[g]) <= max(2, 0.1 * exact[g])
+
+
+def test_frequent_values_topk_deterministic(spark):
+    from sat_val_framework_spark.operators.stats import frequent_values
+
+    rows = [(v,) for v in [1] * 5 + [2] * 5 + [3] * 2 + [4]]
+    df = spark.createDataFrame(rows, ["x"])
+    got = [(r["value"], r["n"], r["rank"]) for r in frequent_values(df, "x", k=3).collect()]
+    # ties (1 vs 2, both n=5) break on the value ascending
+    assert sorted(got, key=lambda t: t[2]) == [("1", 5, 1), ("2", 5, 2), ("3", 2, 3)]
+
+
+def test_distribution_entropy_matches_numpy(spark):
+    import numpy as np
+
+    from sat_val_framework_spark.operators.stats import distribution_entropy
+
+    rows = [("a", "x")] * 10 + [("a", "y")] * 30 + [("b", "x")] * 20
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {r["grp"]: r["entropy"] for r in distribution_entropy(df, "v", "g").collect()}
+    p = np.array([10, 30]) / 40.0
+    assert abs(got["a"] - round(float(-(p * np.log(p)).sum()), 6)) < 1e-9
+    assert got["b"] == 0.0  # single-valued group: zero entropy (degenerate)

@@ -100,3 +100,15 @@ def test_fingerprint_xxhash_variant_same_collision_structure(spark):
         fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs, hash_fn=fn).collect()}
         assert fp[1] == fp[2], fn
         assert fp[3] != fp[1], fn
+
+
+def test_token_count_bpe_null_safe_and_sane(spark):
+    from sat_val_framework_spark.functions.text import token_count_bpe
+
+    rows = [(1, "Hello, world! It's 42 degrees."), (2, None), (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in token_count_bpe(df).collect()}
+    assert got[2] is None and got[3] == 0
+    # Hello |,| world |!| It |'s| 42 | degrees |.  -> punctuation and the
+    # number count separately, contraction splits off
+    assert got[1] == 9
