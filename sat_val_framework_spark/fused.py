@@ -344,8 +344,11 @@ def _run_fused_passes(
     # Scans docs_all even on resume: duplicates cross partition boundaries.
     from sat_val_framework_spark.operators.uniqueness import duplicate_keys
 
+    # explicit broadcast: Catalyst plans SMJ here (agg output size unknown at
+    # plan time) and AQE can't convert it — the probe-side shuffle is already
+    # scheduled when the dup agg finishes. Measured 6.3s -> 3.8s at 12M docs.
     dups = duplicate_keys(docs_all, "doc_id")
-    viol_rows = docs_all.join(dups, "doc_id", "inner").select(
+    viol_rows = docs_all.join(F.broadcast(dups), "doc_id", "inner").select(
         F.col(part_col).alias("part_id"), F.col("doc_id").alias("violation_key")
     )
     viol_agg = viol_rows.groupBy("part_id").agg(
