@@ -438,6 +438,47 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ntz_secs(ts: F.Column) -> F.Column:
+    """Seconds since 2024-01-01 00:00:00 wall clock — built from date diff +
+    clock components, so it is session-timezone independent on TIMESTAMP_NTZ
+    (epoch casts are NOT; CLAUDE.md gotcha)."""
+    day = F.datediff(ts.cast("date"), F.lit("2024-01-01").cast("date"))
+    return (
+        day.cast("long") * 86400 + F.hour(ts) * 3600 + F.minute(ts) * 60 + F.second(ts)
+    ).cast("long")
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (Spark has no native one): error events within 10
+    minutes AFTER a purchase by the same user, via the bucketized equi-join
+    composition (functions/asof.py::range_join) — never a
+    BroadcastNestedLoop. Second-resolution on both engines."""
+    from sat_val_framework_spark.functions.asof import range_join
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", _ntz_secs(F.col("ts")).alias("s")
+    )
+    right = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event"),
+        F.col("s").alias("w_start"),
+        (F.col("s") + 600).alias("w_end"),
+    )
+    left = e.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_event"), F.col("s").alias("e_s")
+    )
+    out = range_join(
+        left, right, key="user_id", left_ts="e_s",
+        right_start="w_start", right_end="w_end", bucket_width=600,
+    )
+    return out.select(
+        "purchase_event",
+        "error_event",
+        "user_id",
+        (F.col("e_s") - F.col("w_start")).cast("long").alias("secs_after"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min) via lag + cumulative-sum windows;
     output one row per session."""
@@ -630,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "topk_per_group": q_topk_per_group,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "sessionize": q_sessionize,
         "rollup_revenue": q_rollup_revenue,
         "pivot_events": q_pivot_events,
@@ -1005,6 +1047,19 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT r.ts FROM r WHERE r.k = e.user_id AND r.ts <= e.ts
                     ORDER BY r.ts DESC LIMIT 1) AS asof_orderdate
             FROM events e
+        """,
+        "range_join": """
+            WITH x AS (SELECT event_id, user_id, event_type,
+                              (date_diff('day', DATE '2024-01-01', ts::date) * 86400
+                               + date_part('hour', ts) * 3600
+                               + date_part('minute', ts) * 60
+                               + date_part('second', ts))::bigint AS s
+                       FROM events)
+            SELECT p.event_id AS purchase_event, e.event_id AS error_event,
+                   p.user_id, (e.s - p.s)::bigint AS secs_after
+            FROM x p JOIN x e ON p.user_id = e.user_id
+            WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+              AND e.s BETWEEN p.s AND p.s + 600
         """,
         "sessionize": """
             WITH x AS (

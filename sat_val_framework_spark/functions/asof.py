@@ -67,6 +67,46 @@ def as_of_join(
     return out
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval (range) join: each left row matched to every right row whose
+    [right_start, right_end] contains left_ts, same key — another operator
+    Spark lacks natively (a raw non-equi join plans BroadcastNestedLoop,
+    O(n·m) and broadcast-bound).
+
+    Bucketized composition: the time axis is cut into ``bucket_width``-sized
+    buckets; each right interval EXPLODES into the buckets it covers, each
+    left row carries its single bucket, and the join becomes an EQUI-join on
+    (key, bucket) + an exact BETWEEN filter. Each (left, right) pair matches
+    exactly once — the left row lives in one bucket and the interval appears
+    once per bucket. Cost scales with interval_len/bucket_width per right
+    row (pick bucket_width ≈ typical interval length), and the shuffle key
+    (key, bucket) is high-cardinality — no hot reducer.
+
+    The ts columns must be NUMERIC (cast dates/timestamps to day numbers or
+    epochs session-TZ-independently before calling; see q_range_join).
+    """
+    l_b = F.floor(F.col(left_ts) / F.lit(bucket_width)).cast("long")
+    s_b = F.floor(F.col(right_start) / F.lit(bucket_width)).cast("long")
+    e_b = F.floor(F.col(right_end) / F.lit(bucket_width)).cast("long")
+    l = left.withColumn("__bucket", l_b)
+    r = right.withColumn("__bucket", F.explode(F.sequence(s_b, e_b)))
+    return (
+        l.join(r, [key, "__bucket"])
+        .filter(
+            (F.col(left_ts) >= F.col(right_start)) & (F.col(left_ts) <= F.col(right_end))
+        )
+        .drop("__bucket")
+    )
+
+
 def sessionize(
     events: DataFrame,
     key: str,

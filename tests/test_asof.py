@@ -75,3 +75,46 @@ def test_sessionize_deterministic_across_partitionings(spark):
     a = sorted(map(tuple, sessionize(ev.coalesce(1), "user_id", "ts").collect()))
     b = sorted(map(tuple, sessionize(ev.repartition(8), "user_id", "ts").collect()))
     assert a == b
+
+
+def test_range_join_matches_naive_nonequi(spark):
+    """Bucketized range join == the naive non-equi join, including intervals
+    spanning multiple buckets and exact boundary inclusion."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sat_val_framework_spark.functions.asof import range_join
+
+    random.seed(3)
+    left_rows = [(i, i % 5, random.randint(0, 1000)) for i in range(300)]
+    right_rows = [
+        (j, j % 5, s := random.randint(0, 950), s + random.randint(0, 120))
+        for j in range(80)
+    ]
+    left = spark.createDataFrame(left_rows, ["lid", "k", "ts"])
+    right = spark.createDataFrame(right_rows, ["rid", "k", "lo", "hi"])
+    got = {
+        (r["lid"], r["rid"])
+        for r in range_join(left, right, "k", "ts", "lo", "hi", bucket_width=50).collect()
+    }
+    naive = {
+        (r["lid"], r["rid"])
+        for r in left.join(
+            right,
+            (left.k == right.k) & (left.ts >= right.lo) & (left.ts <= right.hi),
+        ).collect()
+    }
+    assert got == naive and len(naive) > 0
+
+
+def test_range_join_plan_has_no_nested_loop(spark):
+    from sat_val_framework_spark.functions.asof import range_join
+
+    left = spark.createDataFrame([(1, 1, 10)], ["lid", "k", "ts"])
+    right = spark.createDataFrame([(1, 1, 5, 15)], ["rid", "k", "lo", "hi"])
+    plan = (
+        range_join(left, right, "k", "ts", "lo", "hi", bucket_width=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan

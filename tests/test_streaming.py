@@ -84,3 +84,80 @@ def test_streaming_foreach_batch_checkpoints(spark, stream_dir, tmp_path):
     rows = spark.read.parquet(sink)
     assert rows.count() > 0
     assert {"constraint_id", "part_id", "status", "epoch_id"} <= set(rows.columns)
+
+
+def test_streaming_sessionize_matches_batch_closed_sessions(spark, tmp_path):
+    """Stateful streaming sessionization == batch sessionize for every
+    CLOSED session, including sessions spanning micro-batch boundaries (the
+    still-open last session per user stays in state by design)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sat_val_framework_spark.functions.asof import sessionize
+    from sat_val_framework_spark.streaming.session_stream import streaming_sessionize
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        base = pd.Timestamp("2024-03-01 00:00:00")
+        rows = []
+        for u in range(6):
+            t = base + pd.Timedelta(minutes=u)
+            for s in range(3):  # 3 sessions per user
+                for i in range(4):  # 4 events each, 5 min apart (< 30min gap)
+                    rows.append((u, t.to_pydatetime()))
+                    t += pd.Timedelta(minutes=5)
+                t += pd.Timedelta(minutes=45)  # gap > 30 min closes the session
+        ev = spark.createDataFrame(rows, "user_id long, ts timestamp").orderBy("ts")
+        # feed in 3 time-ordered files so sessions span micro-batches
+        src = str(tmp_path / "sess_src")
+        n = ev.count()
+        pdf = ev.toPandas().sort_values("ts").reset_index(drop=True)
+        import os
+
+        os.makedirs(src, exist_ok=True)
+        for i, chunk in enumerate([pdf.iloc[: n // 3], pdf.iloc[n // 3 : 2 * n // 3], pdf.iloc[2 * n // 3 :]]):
+            spark.createDataFrame(chunk).coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+        # stream each file dir in order through ONE query via a glob source
+        flat = str(tmp_path / "sess_flat")
+        os.makedirs(flat, exist_ok=True)
+        import glob
+        import shutil
+
+        import time as _time
+
+        now = _time.time()
+        for i in range(3):
+            part = glob.glob(f"{src}/f{i}/part-*.parquet")[0]
+            dst = f"{flat}/{i:02d}.parquet"
+            shutil.copy(part, dst)
+            # the file source orders by modification time: pin strictly
+            # increasing mtimes so micro-batches arrive in event-time order
+            os.utime(dst, (now + i * 10, now + i * 10))
+        q = streaming_sessionize(spark, flat, ev.schema, gap_seconds=1800, query_name="sess_t")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r["user_id"], r["session_seq"]): (r["n_events"], r["session_start"], r["session_end"])
+            for r in spark.table("sess_t").collect()
+        }
+        batch = (
+            sessionize(ev, key="user_id", ts="ts", gap_seconds=1800)
+            .groupBy("user_id", "session_seq")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+            )
+        )
+        last_seq = {r["user_id"]: r["m"] for r in batch.groupBy("user_id").agg(F.max("session_seq").alias("m")).collect()}
+        expected = {
+            (r["user_id"], r["session_seq"]): (r["n_events"], r["session_start"], r["session_end"])
+            for r in batch.collect()
+            if r["session_seq"] < last_seq[r["user_id"]]  # open sessions stay in state
+        }
+        assert got == expected and len(expected) == 6 * 2  # 2 closed sessions/user
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
