@@ -518,6 +518,22 @@ def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: event metrics at (day, hour)
+    granularities in one pass via ROLLUP — the time-bucketed rollup shape a
+    TSDB materializes incrementally. Day/hour from NTZ wall clock
+    (session-TZ independent)."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"),
+        F.hour("ts").alias("hour"),
+        "value",
+    )
+    return e.rollup("day", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation: all grouping-set combinations."""
     o = _t(spark, sf_dir, "orders")
@@ -678,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "training_filter": q_training_filter,
         "ann_ivf": q_ann_ivf,
+        "time_rollup": q_time_rollup,
         "cube_revenue": q_cube_revenue,
         "running_totals": q_running_totals,
         "cardinality_profile": q_cardinality_profile,
@@ -1077,6 +1094,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_seq, count(*) AS n_events,
                    min(ts) AS session_start, max(ts) AS session_end
             FROM y GROUP BY user_id, session_seq
+        """,
+        "time_rollup": """
+            SELECT ts::date AS day, date_part('hour', ts)::int AS hour,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY ROLLUP (day, hour)
         """,
         "cube_revenue": """
             SELECT o_orderstatus AS st, o_orderpriority AS pri,

@@ -51,6 +51,12 @@ HEADLINE = [
     "dedup_jaccard",
     "training_filter",
     "rollup_revenue",
+    # round-2 additions
+    "dedup_embedding",
+    "range_join",
+    "token_count_bpe",
+    "cardinality_profile",
+    "time_rollup",
 ]
 
 
