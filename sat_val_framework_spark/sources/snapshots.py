@@ -1,0 +1,114 @@
+"""Snapshot-versioned table (manifest-based) — the time-travel contract
+locally, without the Iceberg runtime.
+
+Production runs this engine over Iceberg (``readers.read_iceberg_table``);
+this sandbox has no Iceberg jars, so the SNAPSHOT SEMANTICS the north star
+needs — immutable snapshots, append = new snapshot over old+new files,
+time-travel reads for reproducible re-validation, snapshot id in verdict
+lineage — are realized here the way Iceberg itself does it: a manifest per
+snapshot listing immutable data files. Data files are never rewritten or
+deleted; a snapshot is a JSON manifest naming the parquet files it covers,
+so reading snapshot N is just ``spark.read.parquet(*files_of(N))`` and old
+snapshots stay readable after any number of appends/overwrites.
+
+This is NOT Iceberg (no hidden partitioning, no schema evolution, no
+compaction) — it is the minimal honest realization of the contracts the
+reference pins down: durable discovery output that later runs reload and
+re-parameterize (usable.py:51-62) and lineage that records exactly which
+data produced each verdict (implement.py:81-86).
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def _manifest_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "snapshots")
+
+
+def _manifests(table_dir: str) -> list[dict]:
+    out = []
+    for p in sorted(glob.glob(os.path.join(_manifest_dir(table_dir), "*.json"))):
+        with open(p) as f:
+            out.append(json.load(f))
+    return sorted(out, key=lambda m: m["seq"])
+
+
+def snapshots(table_dir: str) -> list[dict]:
+    """All snapshots, oldest first: {snapshot_id, seq, n_files, parent}."""
+    return [
+        {
+            "snapshot_id": m["snapshot_id"],
+            "seq": m["seq"],
+            "n_files": len(m["files"]),
+            "parent": m.get("parent"),
+        }
+        for m in _manifests(table_dir)
+    ]
+
+
+def write_snapshot(df: DataFrame, table_dir: str, mode: str = "append") -> str:
+    """Write ``df`` as a new immutable snapshot; returns its snapshot id.
+
+    mode='append': the new snapshot covers the parent snapshot's files PLUS
+    the newly written ones. mode='overwrite': covers only the new files —
+    but nothing is deleted, so every older snapshot remains readable
+    (time travel). The snapshot id is content-addressed (hash of the file
+    list), so identical data states get identical ids across retries."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown mode '{mode}'")
+    data_dir = os.path.join(table_dir, "data", uuid.uuid4().hex[:12])
+    df.write.mode("error").parquet(data_dir)
+    new_files = sorted(glob.glob(os.path.join(data_dir, "part-*.parquet")))
+    prior = _manifests(table_dir)
+    parent = prior[-1] if prior else None
+    files = (parent["files"] if parent and mode == "append" else []) + new_files
+    seq = (parent["seq"] + 1) if parent else 1
+    snap_id = hashlib.md5("\n".join(files).encode()).hexdigest()[:16]
+    manifest = {
+        "snapshot_id": snap_id,
+        "seq": seq,
+        "files": files,
+        "parent": parent["snapshot_id"] if parent else None,
+        "mode": mode,
+    }
+    os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+    path = os.path.join(_manifest_dir(table_dir), f"{seq:08d}-{snap_id}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, path)  # atomic publish: readers never see a torn manifest
+    return snap_id
+
+
+def read_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: str | None = None,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Read the table as of a snapshot (latest when None) — the A5
+    'reproducible re-load' shape: the SAME snapshot id always reads the SAME
+    rows, regardless of later appends."""
+    ms = _manifests(table_dir)
+    if not ms:
+        raise FileNotFoundError(f"no snapshots in table '{table_dir}'")
+    if snapshot_id is None:
+        m = ms[-1]
+    else:
+        matches = [x for x in ms if x["snapshot_id"] == snapshot_id]
+        if not matches:
+            raise FileNotFoundError(
+                f"snapshot '{snapshot_id}' not found in table '{table_dir}'"
+            )
+        m = matches[-1]
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.parquet(*m["files"])

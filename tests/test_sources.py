@@ -86,3 +86,59 @@ def test_csv_flat_spans_reassembly(spark, tmp_path):
     assert set(a) == set(b)
     mismatches = [k for k in a if a[k] != b[k]]
     assert not mismatches, mismatches[:3]
+
+
+def test_snapshot_table_time_travel(spark, tmp_path):
+    """Append = new snapshot over old+new; an OLD snapshot id keeps reading
+    exactly its rows after later appends (reproducible re-validation)."""
+    from sat_val_framework_spark import fixtures as fx
+    from sat_val_framework_spark.sources.snapshots import (
+        read_snapshot,
+        snapshots,
+        write_snapshot,
+    )
+
+    tbl = str(tmp_path / "snap_tbl")
+    d1 = fx.documents_df(spark, 200, n_parts=4)
+    s1 = write_snapshot(d1, tbl)
+    d2 = fx.documents_df(spark, 100, n_parts=4).withColumn(
+        "doc_id", F.concat(F.lit("extra-"), F.col("doc_id"))
+    )
+    s2 = write_snapshot(d2, tbl, mode="append")
+    assert s1 != s2
+    assert read_snapshot(spark, tbl, s1, fx.DOCUMENTS_SCHEMA).count() == 200
+    assert read_snapshot(spark, tbl, s2, fx.DOCUMENTS_SCHEMA).count() == 300
+    assert read_snapshot(spark, tbl, schema=fx.DOCUMENTS_SCHEMA).count() == 300  # latest
+    meta = snapshots(tbl)
+    assert [m["seq"] for m in meta] == [1, 2] and meta[1]["parent"] == s1
+
+
+def test_snapshot_overwrite_keeps_history(spark, tmp_path):
+    from sat_val_framework_spark import fixtures as fx
+    from sat_val_framework_spark.sources.snapshots import read_snapshot, write_snapshot
+
+    tbl = str(tmp_path / "snap_tbl2")
+    s1 = write_snapshot(fx.documents_df(spark, 200, n_parts=4), tbl)
+    s2 = write_snapshot(fx.documents_df(spark, 50, n_parts=4), tbl, mode="overwrite")
+    assert read_snapshot(spark, tbl, s2, fx.DOCUMENTS_SCHEMA).count() == 50
+    # time travel: the pre-overwrite snapshot is still fully readable
+    assert read_snapshot(spark, tbl, s1, fx.DOCUMENTS_SCHEMA).count() == 200
+
+
+def test_snapshot_revalidation_stamps_lineage(spark, tmp_path):
+    """Re-validating an OLD snapshot stamps its id on every verdict row —
+    the RawMetadata lineage contract (implement.py:81-86) end-to-end."""
+    from sat_val_framework_spark import fixtures as fx
+    from sat_val_framework_spark.runner import run_suite
+    from sat_val_framework_spark.sources.snapshots import read_snapshot, write_snapshot
+    from sat_val_framework_spark.suite import Check, CheckSuite
+
+    tbl = str(tmp_path / "snap_tbl3")
+    s1 = write_snapshot(fx.documents_df(spark, 200, n_parts=4), tbl)
+    write_snapshot(fx.documents_df(spark, 100, n_parts=4), tbl, mode="append")
+    old = read_snapshot(spark, tbl, s1, fx.DOCUMENTS_SCHEMA)
+    suite = CheckSuite(checks=[Check("stats", "n_spans", {"max_null_rate": 0.0, "lo": 1, "hi": 64})])
+    res = run_suite(spark, old, suite, snapshot_id=s1)
+    rows = res.verdicts.collect()
+    assert rows and all(r["snapshot_id"] == s1 for r in rows)
+    assert sum(r["rows_scanned"] for r in rows) == 200  # the OLD data, exactly
