@@ -518,6 +518,25 @@ def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch demo: build a 4×256 CMS over events.user_id, then
+    point-estimate the 5 heaviest users and report estimate vs truth
+    (estimate never underestimates). md5 hashing = the oracle path; the
+    xxhash64 fast path is pytest-equivalence-checked."""
+    from sat_val_framework_spark.functions.sketch import cms_build, cms_estimate
+
+    e = _t(spark, sf_dir, "events")
+    sketch = cms_build(e, "user_id", depth=4, width=256)
+    top5 = (
+        e.groupBy(F.col("user_id").cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.col("true_n").desc(), F.col("key"))
+        .limit(5)
+    )
+    est = cms_estimate(sketch, top5, "key", depth=4, width=256)
+    return top5.join(est, "key").select("key", "true_n", "cms_est")
+
+
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate: event metrics at (day, hour)
     granularities in one pass via ROLLUP — the time-bucketed rollup shape a
@@ -694,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "training_filter": q_training_filter,
         "ann_ivf": q_ann_ivf,
+        "cms_freq": q_cms_freq,
         "time_rollup": q_time_rollup,
         "cube_revenue": q_cube_revenue,
         "running_totals": q_running_totals,
@@ -1094,6 +1114,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_seq, count(*) AS n_events,
                    min(ts) AS session_start, max(ts) AS session_end
             FROM y GROUP BY user_id, session_seq
+        """,
+        # CMS cells: bucket_d(key) = md5(d || ':' || key) as 60-bit int mod 256
+        "cms_freq": """
+            WITH ks AS (SELECT user_id::varchar AS key FROM events),
+            ds AS (SELECT unnest([0, 1, 2, 3]) AS row),
+            cells AS (
+                SELECT ds.row,
+                       (('0x' || substr(md5(ds.row || ':' || ks.key), 1, 15))::bigint % 256)::int AS col,
+                       count(*) AS c
+                FROM ks, ds GROUP BY 1, 2),
+            top5 AS (SELECT user_id::varchar AS key, count(*) AS true_n
+                     FROM events GROUP BY 1 ORDER BY true_n DESC, key LIMIT 5),
+            probes AS (
+                SELECT top5.key, top5.true_n, ds.row,
+                       (('0x' || substr(md5(ds.row || ':' || top5.key), 1, 15))::bigint % 256)::int AS col
+                FROM top5, ds)
+            SELECT p.key, p.true_n, min(coalesce(cells.c, 0))::bigint AS cms_est
+            FROM probes p LEFT JOIN cells ON p.row = cells.row AND p.col = cells.col
+            GROUP BY p.key, p.true_n
         """,
         "time_rollup": """
             SELECT ts::date AS day, date_part('hour', ts)::int AS hour,

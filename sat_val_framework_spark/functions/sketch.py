@@ -1,0 +1,104 @@
+"""Count-Min sketch as a DataFrame — a mergeable frequency sketch for
+streams/corpora too large for exact per-key counts.
+
+The sketch IS a tiny DataFrame of (row, col, c) cells (depth × width,
+regardless of input size): each input key increments one bucket per depth
+row, bucket = hash_d(key) % width. Point estimate = min over the depth
+rows — an upper bound on the true count that tightens as width grows
+(classic CM guarantee: overestimate ≤ 2N/width with prob 1-2^-depth).
+
+Why a DataFrame sketch: it MERGES by union + re-aggregate (cell-wise sum),
+so per-partition sketches combine exactly like any partial aggregation —
+the shape that works at 10^12 rows where a driver-side sketch object would
+have to funnel every row through Python. No UDFs anywhere.
+
+hash_fn='md5' is bit-reproducible in ANSI SQL (the DuckDB oracle twin);
+'xxhash64' is the production path (JVM intrinsic, no hex round-trip) —
+same precedent as MinHash/fingerprint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(key: Column, d: int, width: int, hash_fn: str) -> Column:
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(d), key)), 1, 15), 16, 10).cast(
+            "long"
+        )
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64(key, F.lit(d))
+    else:
+        raise ValueError(f"unknown hash_fn '{hash_fn}'")
+    return F.pmod(h, F.lit(width)).cast("int")
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """-> (row, col, c): the sketch cells. One explode to depth rows per
+    input row, then a single hash-agg — partial aggregation collapses each
+    split to ≤ depth×width cells before the shuffle."""
+    key = F.col(key_col).cast("string")
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("row"), _bucket(key, d, width, hash_fn).alias("col")
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("rc")
+    )
+    return cells.groupBy(F.col("rc.row").alias("row"), F.col("rc.col").alias("col")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum — sketches over disjoint data merge into the sketch of
+    the union (the mergeability that makes it a sketch)."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "col")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """-> (key, cms_est): min over the depth bucket counts per queried key
+    (never underestimates the true frequency)."""
+    key = F.col(key_col).cast("string")
+    probes = keys.select(
+        key.alias("key"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("row"), _bucket(key, d, width, hash_fn).alias("col")
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select("key", F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+    return (
+        probes.join(sketch, ["row", "col"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
+    )

@@ -1,0 +1,42 @@
+"""Count-Min sketch: overestimate guarantee, mergeability, hash-path parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sat_val_framework_spark.functions.sketch import cms_build, cms_estimate, cms_merge
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    # zipf-ish: key k appears 200//(k+1) times
+    rows = [(k,) for k in range(40) for _ in range(200 // (k + 1))]
+    return spark.createDataFrame(rows, ["k"])
+
+
+def test_cms_never_underestimates_and_is_tight_for_heavy_keys(spark, keyed):
+    truth = {r["k"]: r["n"] for r in keyed.groupBy(F.col("k")).agg(F.count(F.lit(1)).alias("n")).collect()}
+    sketch = cms_build(keyed, "k", depth=4, width=256)
+    keys = keyed.select("k").distinct()
+    est = {int(r["key"]): r["cms_est"] for r in cms_estimate(sketch, keys, "k", depth=4, width=256).collect()}
+    n_total = sum(truth.values())
+    for k, true_n in truth.items():
+        assert est[k] >= true_n  # CM guarantee: never under
+        assert est[k] <= true_n + 2 * n_total / 256 + 1  # expected-error bound (loose)
+    # sketch size is depth x width regardless of input
+    assert sketch.count() <= 4 * 256
+
+
+def test_cms_merge_equals_sketch_of_union(spark, keyed):
+    a = keyed.filter(F.col("k") % 2 == 0)
+    b = keyed.filter(F.col("k") % 2 == 1)
+    merged = {(r["row"], r["col"]): r["c"] for r in cms_merge(cms_build(a, "k"), cms_build(b, "k")).collect()}
+    whole = {(r["row"], r["col"]): r["c"] for r in cms_build(keyed, "k").collect()}
+    assert merged == whole
+
+
+def test_cms_xxhash_path_same_guarantees(spark, keyed):
+    truth = {r["k"]: r["n"] for r in keyed.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sketch = cms_build(keyed, "k", hash_fn="xxhash64")
+    keys = keyed.select("k").distinct()
+    est = {int(r["key"]): r["cms_est"] for r in cms_estimate(sketch, keys, "k", hash_fn="xxhash64").collect()}
+    assert all(est[k] >= n for k, n in truth.items())
