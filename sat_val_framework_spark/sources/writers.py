@@ -1,0 +1,38 @@
+"""Sinks: bucketed/sorted table writes for co-located (exchange-free) work.
+
+At 100 TB the uniqueness check and every doc-keyed join pay a full-table
+shuffle per run. Bucketing pays that shuffle ONCE at write time: a table
+bucketed by ``doc_id`` makes every later ``groupBy(doc_id)`` /
+``join(..., doc_id)`` between co-bucketed tables exchange-free (Spark reads
+bucket k of every file into the same task). This module is the write half;
+the exchange-free property is plan-asserted in tests/test_sources.py.
+
+Iceberg's ``bucket(N, doc_id)`` partition transform is the production twin
+(SURVEY.md §1.3); Spark's native bucketed tables realize the same layout in
+this sandbox's Hive-less local catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    key: str,
+    n_buckets: int = 16,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a managed parquet table bucketed (and optionally
+    sorted) by ``key``. Overwrites an existing table of the same name."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table_name)
+
+
+def read_table(spark: SparkSession, table_name: str) -> DataFrame:
+    return spark.table(table_name)

@@ -31,3 +31,28 @@ def test_fused_suite_identical_across_parallelism(spark, docs, catalog, baseline
     one = run_suite_fused(spark, docs.coalesce(1), catalog, baseline).collect()
     many = run_suite_fused(spark, docs.repartition(16), catalog, baseline).collect()
     assert _key(one) == _key(many)
+
+
+def test_new_r2_queries_identical_across_runs(spark):
+    """Round-2 driver queries are set-deterministic: same rows at different
+    parallelism (needs_testdata: uses sf0.001 for speed)."""
+    import os
+
+    import pytest
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(sf):
+        pytest.skip("testdata not present")
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    for name in ("range_join", "dedup_jaccard", "dedup_embedding", "cms_freq",
+                 "frequent_values", "value_entropy", "time_rollup"):
+        a = {tuple(r) for r in qs[name](spark, sf).collect()}
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        try:
+            b = {tuple(r) for r in qs[name](spark, sf).collect()}
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        assert a == b, name

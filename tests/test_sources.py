@@ -142,3 +142,30 @@ def test_snapshot_revalidation_stamps_lineage(spark, tmp_path):
     rows = res.verdicts.collect()
     assert rows and all(r["snapshot_id"] == s1 for r in rows)
     assert sum(r["rows_scanned"] for r in rows) == 200  # the OLD data, exactly
+
+
+def test_bucketed_table_aggregates_and_joins_without_exchange(spark, tmp_path):
+    """Bucketing by doc_id pre-pays the shuffle: groupBy(doc_id) and a
+    self-join on doc_id over the bucketed table plan NO shuffle Exchange —
+    the co-located layout the uniqueness/dedup checks rely on at 100 TB."""
+    from sat_val_framework_spark import fixtures as fx
+    from sat_val_framework_spark.sources.writers import read_table, write_bucketed_table
+
+    docs = fx.documents_df(spark, 500, n_parts=4)
+    write_bucketed_table(docs, "docs_bkt_test", "doc_id", n_buckets=4)
+    t = read_table(spark, "docs_bkt_test")
+
+    agg_plan = (
+        t.groupBy("doc_id").count()._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in agg_plan
+
+    a, b = t.alias("a"), t.alias("b")
+    join_plan = (
+        a.join(b, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in join_plan
+
+    # and the data round-trips intact
+    assert t.count() == 500
+    spark.sql("DROP TABLE IF EXISTS docs_bkt_test")
