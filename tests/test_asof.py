@@ -118,3 +118,44 @@ def test_range_join_plan_has_no_nested_loop(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100_000)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_sessionize_property_vs_python_oracle(spark, pairs):
+    """For ANY event set, session assignment equals the plain-python gap
+    fold (duplicate timestamps land in the same session, so task order
+    cannot matter)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from sat_val_framework_spark.functions.asof import sessionize
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(u, base + datetime.timedelta(seconds=s)) for u, s in pairs]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["user_id"], r["ts"]): r["session_seq"]
+        for r in sessionize(df, key="user_id", ts="ts", gap_seconds=600).collect()
+    }
+    # python oracle
+    expected = {}
+    by_user: dict = {}
+    for u, t in sorted(rows, key=lambda x: (x[0], x[1])):
+        last, seq = by_user.get(u, (None, 0))
+        if last is None or (t - last).total_seconds() > 600:
+            seq += 1
+        by_user[u] = (t, seq)
+        expected[(u, t)] = seq
+    assert got == expected
