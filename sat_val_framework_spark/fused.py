@@ -351,10 +351,11 @@ def _run_fused_passes(
     viol_rows = docs_all.join(F.broadcast(dups), "doc_id", "inner").select(
         F.col(part_col).alias("part_id"), F.col("doc_id").alias("violation_key")
     )
-    viol_agg = viol_rows.groupBy("part_id").agg(
-        F.count(F.lit(1)).alias("violation_count"),
-        sample_col(F.col("violation_key"), F.lit(True)).alias("sample_violations"),
-    )
+    # bounded sampler (window top-10 + exact count), not collect-then-slice:
+    # a viral duplicate otherwise collects every copy into one reducer array
+    from sat_val_framework_spark.verdicts import bounded_samples
+
+    viol_agg = bounded_samples(viol_rows, "part_id", "violation_key")
     unique_v = (
         wide_a.select("part_id", "rows")
         .join(viol_agg, "part_id", "left")

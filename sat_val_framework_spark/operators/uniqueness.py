@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sat_val_framework_spark.verdicts import FAIL, PASS, sample_col
+from sat_val_framework_spark.verdicts import FAIL, PASS, bounded_samples
 
 
 def duplicate_keys(df: DataFrame, key: str = "doc_id") -> DataFrame:
@@ -67,10 +67,10 @@ def uniqueness_check(
     per_part = df.groupBy(F.col(part_col).alias("part_id")).agg(
         F.count(F.lit(1)).alias("rows_scanned")
     )
-    viol_agg = viol_rows.groupBy("part_id").agg(
-        F.count(F.lit(1)).alias("violation_count"),
-        sample_col(F.col("violation_key"), F.lit(True)).alias("sample_violations"),
-    )
+    # bounded sampler, not collect_list: a viral duplicate makes violations
+    # per partition huge (measured: 1.2M-copy hot key = 2.5× suite slowdown
+    # and an OOM shape at scale with the collect-then-slice formulation)
+    viol_agg = bounded_samples(viol_rows, "part_id", "violation_key")
     verdicts = (
         per_part.join(viol_agg, "part_id", "left")
         .select(
