@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sat_val_framework_spark.verdicts import FAIL, PASS, sample_col
+from sat_val_framework_spark.verdicts import FAIL, PASS, bounded_samples
 
 
 def exploded_media_spans(docs: DataFrame, part_col: str = "part_id") -> DataFrame:
@@ -61,9 +61,12 @@ def referential_check(
     per_part = docs.groupBy(F.col(part_col).alias("part_id")).agg(
         F.count(F.lit(1)).alias("rows_scanned")
     )
-    viol_agg = orphans.groupBy(F.col(part_col).alias("part_id")).agg(
-        F.count(F.lit(1)).alias("violation_count"),
-        sample_col(F.col("media_ref"), F.lit(True)).alias("sample_violations"),
+    # bounded sampler: a missing catalog subset can make EVERY media span an
+    # orphan — collect-then-slice would gather them all per partition
+    viol_agg = bounded_samples(
+        orphans.select(F.col(part_col).alias("part_id"), F.col("media_ref")),
+        "part_id",
+        "media_ref",
     )
     verdicts = (
         per_part.join(viol_agg, "part_id", "left")

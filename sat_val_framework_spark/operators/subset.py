@@ -29,6 +29,13 @@ def subset_check(
 
     One scan computes both verdict counters and the surviving set's filter
     (the filter itself is lazy and fuses into downstream consumers).
+
+    Sampling bound: samples ride the same single hash-agg (collect-then-
+    slice), so per-group memory is O(rejected-per-partition). A predicate
+    expected to reject most of a huge partition should sample via
+    ``verdicts.bounded_samples`` over the ``rejected`` frame instead (one
+    extra pass, O(10) memory) — the violations sink already persists the
+    full rejected set either way.
     """
     keep = F.expr(predicate)
     rejected_flag = ~F.coalesce(keep, F.lit(False))  # NULL predicate = reject (None contract)
