@@ -1,3 +1,3 @@
-from sat_val_framework_spark.functions import dedup, multimodal, similarity, text
+from sat_val_framework_spark.functions import asof, dedup, multimodal, similarity, sketch, text
 
-__all__ = ["text", "dedup", "similarity", "multimodal"]
+__all__ = ["text", "dedup", "similarity", "multimodal", "asof", "sketch"]

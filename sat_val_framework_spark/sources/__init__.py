@@ -5,6 +5,8 @@ from sat_val_framework_spark.sources.readers import (
     read_documents_orc,
     read_iceberg_table,
 )
+from sat_val_framework_spark.sources.snapshots import read_snapshot, snapshots, write_snapshot
+from sat_val_framework_spark.sources.writers import read_table, write_bucketed_table
 
 __all__ = [
     "read_documents",
@@ -12,4 +14,9 @@ __all__ = [
     "read_documents_csv_spans",
     "read_documents_orc",
     "read_iceberg_table",
+    "write_snapshot",
+    "read_snapshot",
+    "snapshots",
+    "write_bucketed_table",
+    "read_table",
 ]

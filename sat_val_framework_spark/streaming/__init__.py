@@ -1,5 +1,12 @@
 from sat_val_framework_spark.streaming.dedup_stream import streaming_dedup
 from sat_val_framework_spark.streaming.drift_stream import streaming_drift
 from sat_val_framework_spark.streaming.qc_stream import streaming_schema_assert, streaming_stats
+from sat_val_framework_spark.streaming.session_stream import streaming_sessionize
 
-__all__ = ["streaming_schema_assert", "streaming_stats", "streaming_dedup", "streaming_drift"]
+__all__ = [
+    "streaming_schema_assert",
+    "streaming_stats",
+    "streaming_dedup",
+    "streaming_drift",
+    "streaming_sessionize",
+]
