@@ -40,3 +40,24 @@ def test_query_sample_runs_smoke(spark, name):
     assert df.count() >= 0  # runs, stable schema
     assert df.columns == [c for c in df.columns]  # no duplicate column names
     assert len(set(df.columns)) == len(df.columns)
+
+
+@needs_testdata
+def test_time_queries_are_session_tz_independent(spark):
+    """The driver builds its OWN SparkSession with an unknown session
+    timezone; every time-touching query must give identical values under a
+    non-UTC TZ (TIMESTAMP_NTZ discipline + wall-clock component arithmetic,
+    never epoch casts — CLAUDE.md gotcha)."""
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+    old = spark.conf.get("spark.sql.session.timeZone")
+    names = ("sessionize", "asof_join", "range_join", "time_rollup")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = {n: {tuple(r) for r in qs[n](spark, sf).collect()} for n in names}
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny = {n: {tuple(r) for r in qs[n](spark, sf).collect()} for n in names}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    for n in names:
+        assert utc[n] == ny[n], n
