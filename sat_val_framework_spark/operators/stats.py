@@ -102,14 +102,25 @@ def frequent_values(df: DataFrame, col: str, k: int = 10) -> DataFrame:
     dominant-value detection is how a validation suite catches a column
     collapsing to a constant. groupBy-count partial-aggregates map-side, so
     only distinct values cross the shuffle; ties break on the value for
-    determinism at any parallelism."""
-    from pyspark.sql import Window
+    determinism at any parallelism.
 
+    Scale shape: ``orderBy().limit(k)`` compiles to TakeOrderedAndProject —
+    each task keeps a k-row heap and the driver merges k·n_tasks rows, O(k)
+    memory — NEVER a global unpartitioned window (row_number over all
+    distinct values funnels the whole profile into ONE task; profiling a
+    high-cardinality column at 10^12 rows would OOM it). ``rank`` is then
+    derived on the k-row result with a broadcast self-join (k×k comparisons,
+    metadata-sized) so no WindowExec appears anywhere in the plan."""
     counts = df.groupBy(F.col(col).alias("value")).agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.col("n").desc(), F.col("value"))
+    topk = counts.orderBy(F.col("n").desc(), F.col("value")).limit(k)
+    other = topk.select(F.col("value").alias("v2"), F.col("n").alias("n2"))
+    before = (F.col("n2") > F.col("n")) | (
+        (F.col("n2") == F.col("n")) & (F.col("v2") < F.col("value"))
+    )
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        topk.join(F.broadcast(other), before, "left")
+        .groupBy("value", "n")
+        .agg((F.count(F.col("v2")) + 1).cast("int").alias("rank"))
         .select(F.col("value").cast("string").alias("value"), "n", "rank")
     )
 
