@@ -45,6 +45,12 @@ def cms_build(
     """-> (row, col, c): the sketch cells. One explode to depth rows per
     input row, then a single hash-agg — partial aggregation collapses each
     split to ≤ depth×width cells before the shuffle."""
+    # NULL keys are excluded on every path: Spark's concat_ws would silently
+    # skip a NULL (hashing as str(d)), the SQL oracle's `d || ':' || key`
+    # yields NULL (row dropped), and xxhash64 treats NULL differently again —
+    # three divergent behaviors. A NULL key has no frequency; drop it here
+    # and in cms_estimate so all engines/paths agree.
+    df = df.filter(F.col(key_col).isNotNull())
     key = F.col(key_col).cast("string")
     cells = df.select(
         F.explode(
@@ -82,7 +88,9 @@ def cms_estimate(
     hash_fn: str = "md5",
 ) -> DataFrame:
     """-> (key, cms_est): min over the depth bucket counts per queried key
-    (never underestimates the true frequency)."""
+    (never underestimates the true frequency). NULL probe keys are dropped
+    (see cms_build: NULLs never enter the sketch)."""
+    keys = keys.filter(F.col(key_col).isNotNull())
     key = F.col(key_col).cast("string")
     probes = keys.select(
         key.alias("key"),

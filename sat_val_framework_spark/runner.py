@@ -296,11 +296,18 @@ def run_suite(
             for chk in affected:
                 ids = pending_ids([chk.constraint_id])
                 parts = all_parts if ids is None else all_parts.filter(F.col("part_id").isin(ids))
-                emit(
-                    error_verdicts(parts, chk.constraint_id, kind, str(exc)),
-                    chk.params_json,
-                    t0,
-                )
+                ev = error_verdicts(parts, chk.constraint_id, kind, str(exc))
+                try:
+                    emit(ev, chk.params_json, t0)
+                except Exception:  # noqa: BLE001
+                    # the sink itself is broken (e.g. the original failure WAS
+                    # the checkpoint append): re-emitting through the same
+                    # path would raise out of run_suite. Degrade to in-memory
+                    # ERROR verdicts — still returned, just not checkpointed,
+                    # so the pair stays pending and retries after the fix.
+                    collected.append(
+                        finalize_verdicts(ev, run_id, chk.params_json, snapshot_id)
+                    )
 
     if collected:
         verdicts = collected[0]

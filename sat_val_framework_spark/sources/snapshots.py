@@ -110,5 +110,15 @@ def read_snapshot(
                 f"snapshot '{snapshot_id}' not found in table '{table_dir}'"
             )
         m = matches[-1]
+    if not m["files"]:
+        # a snapshot of an empty DataFrame (Spark may write zero part files)
+        # is a legal state: reading it yields an empty frame, not the
+        # confusing zero-path spark.read.parquet() error
+        if schema is None:
+            raise ValueError(
+                f"snapshot '{m['snapshot_id']}' lists zero data files; pass "
+                "schema= to read it as an empty DataFrame"
+            )
+        return spark.createDataFrame([], schema)
     reader = spark.read.schema(schema) if schema is not None else spark.read
     return reader.parquet(*m["files"])

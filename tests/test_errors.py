@@ -58,6 +58,26 @@ def test_error_pairs_are_retried_on_resume(spark, docs, catalog, tmp_path):
     assert r3.verdicts.count() == 0
 
 
+def test_broken_checkpoint_sink_degrades_to_in_memory_error_verdicts(spark, docs, catalog, baseline, tmp_path):
+    """When the checkpoint sink itself is unwritable, the error-verdict
+    re-emit must not raise out of run_suite (ADVICE r2): every check degrades
+    to an in-memory ERROR verdict and the pairs stay pending for retry."""
+    from sat_val_framework_spark.runner import DEFAULT_SUITE, run_suite
+
+    blocker = tmp_path / "not_a_dir"
+    blocker.write_text("plain file, not a directory")
+    res = run_suite(
+        spark, docs, DEFAULT_SUITE,
+        catalog=catalog, baseline=baseline,
+        checkpoint_path=str(blocker / "ckpt"),  # parent is a file -> appends fail
+        run_id="broken-sink",
+    )
+    rows = res.verdicts.collect()
+    assert rows, "verdicts must still be returned in memory"
+    assert all(r["status"] == "ERROR" for r in rows)
+    assert all(r["error_kind"] is not None for r in rows)
+
+
 def test_drift_sibling_errors_cover_both_constraints(spark, docs):
     """A failure in the shared drift pass yields ERROR rows for EVERY
     configured sibling, each with its own params_json."""

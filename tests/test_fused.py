@@ -56,6 +56,27 @@ def test_fused_checkpoint_resume(spark, docs, catalog, baseline, tmp_path):
     assert final == full
 
 
+def test_fused_resume_retries_retryable_error_pairs(spark, docs, catalog, baseline, tmp_path):
+    """Fused resume honors the same retry contract as run_suite: a pair whose
+    checkpoint row is a retryable ERROR (e.g. FileNotFound) is NOT done and
+    re-runs; a data-inherent EmptySeriesError pair IS done (ADVICE r2)."""
+    import datetime
+
+    from sat_val_framework_spark import checkpoint as ckpt
+
+    path = str(tmp_path / "fckpt_retry")
+    ts = datetime.datetime(2024, 1, 1)
+    seed = [
+        ("fr2", "schema_assert", 0, "ERROR", "FileNotFoundError", None, 1, ["boom"], None, "{}", "", ts),
+        ("fr2", "drift_ks:n_spans", 1, "ERROR", "EmptySeriesError", 0, 1, [], None, "{}", "", ts),
+    ]
+    spark.createDataFrame(seed, ckpt.VERDICT_SCHEMA).write.parquet(path)
+    out = run_suite_fused(spark, docs, catalog, baseline, checkpoint_path=path, run_id="fr2")
+    pairs = {(r["constraint_id"], r["part_id"]) for r in out.collect()}
+    assert ("schema_assert", 0) in pairs  # retryable ERROR -> re-run
+    assert ("drift_ks:n_spans", 1) not in pairs  # EmptySeries counts done
+
+
 def test_fused_shares_pass_results(spark, docs, catalog, baseline):
     """The wide per-pass aggregates are persisted so every verdict family
     reads the shared result instead of re-expanding the scan subtree."""

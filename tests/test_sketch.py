@@ -34,6 +34,27 @@ def test_cms_merge_equals_sketch_of_union(spark, keyed):
     assert merged == whole
 
 
+def test_cms_null_keys_excluded_on_all_paths(spark):
+    """NULL keys never enter the sketch (Spark's concat_ws would silently
+    hash them as str(d), diverging from both the SQL oracle and xxhash64 —
+    ADVICE r2); md5 and xxhash64 agree on a NULL-bearing column."""
+    from pyspark.sql import functions as F
+
+    from sat_val_framework_spark.functions.sketch import cms_build, cms_estimate
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [(None,)] * 7
+    df = spark.createDataFrame(rows, "k string")
+    for hf in ("md5", "xxhash64"):
+        sk = cms_build(df, "k", depth=4, width=64, hash_fn=hf)
+        # each depth row's total mass == number of NON-NULL input rows
+        mass = {r["row"]: r["m"] for r in sk.groupBy("row").agg(F.sum("c").alias("m")).collect()}
+        assert mass == {0: 8, 1: 8, 2: 8, 3: 8}, (hf, mass)
+        probes = spark.createDataFrame([("a",), ("b",), (None,)], "k string")
+        est = {r["key"]: r["cms_est"] for r in cms_estimate(sk, probes, "k", depth=4, width=64, hash_fn=hf).collect()}
+        assert set(est) == {"a", "b"}  # NULL probe dropped
+        assert est["a"] >= 5 and est["b"] >= 3
+
+
 def test_cms_xxhash_path_same_guarantees(spark, keyed):
     truth = {r["k"]: r["n"] for r in keyed.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
     sketch = cms_build(keyed, "k", hash_fn="xxhash64")

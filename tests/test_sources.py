@@ -125,6 +125,30 @@ def test_snapshot_overwrite_keeps_history(spark, tmp_path):
     assert read_snapshot(spark, tbl, s1, fx.DOCUMENTS_SCHEMA).count() == 200
 
 
+def test_snapshot_of_empty_dataframe_reads_back_empty(spark, tmp_path):
+    """An empty-DataFrame snapshot (possibly zero part files) must read back
+    as an empty frame with schema=, or raise a CLEAR error without one —
+    never the confusing zero-path spark.read.parquet() failure (ADVICE r2)."""
+    import pytest
+
+    from sat_val_framework_spark.sources.snapshots import read_snapshot, write_snapshot
+
+    tdir = str(tmp_path / "empty_snap")
+    schema = "doc_id string, n long"
+    empty = spark.createDataFrame([], schema)
+    sid = write_snapshot(empty, tdir, mode="overwrite")
+    got = read_snapshot(spark, tdir, sid, schema=empty.schema)
+    assert got.count() == 0
+    assert got.schema == empty.schema
+    # without a schema: either a readable zero-row frame (Spark wrote an
+    # empty part file) or a clear ValueError naming the snapshot
+    try:
+        no_schema = read_snapshot(spark, tdir, sid)
+        assert no_schema.count() == 0
+    except ValueError as e:
+        assert sid in str(e)
+
+
 def test_snapshot_revalidation_stamps_lineage(spark, tmp_path):
     """Re-validating an OLD snapshot stamps its id on every verdict row —
     the RawMetadata lineage contract (implement.py:81-86) end-to-end."""

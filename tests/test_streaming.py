@@ -97,7 +97,10 @@ def test_streaming_sessionize_matches_batch_closed_sessions(spark, tmp_path):
     from sat_val_framework_spark.streaming.session_stream import streaming_sessionize
 
     old_tz = spark.conf.get("spark.sql.session.timeZone")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # NON-UTC on purpose: ts is TIMESTAMP_NTZ end-to-end (input parquet,
+    # state, output schema), so stream==batch must hold in ANY session TZ —
+    # the ADVICE r2 fragility was an NTZ->TIMESTAMP cast inside the operator
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try:
         base = pd.Timestamp("2024-03-01 00:00:00")
         rows = []
@@ -108,16 +111,21 @@ def test_streaming_sessionize_matches_batch_closed_sessions(spark, tmp_path):
                     rows.append((u, t.to_pydatetime()))
                     t += pd.Timedelta(minutes=5)
                 t += pd.Timedelta(minutes=45)  # gap > 30 min closes the session
-        ev = spark.createDataFrame(rows, "user_id long, ts timestamp").orderBy("ts")
+        ev = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz").orderBy("ts")
         # feed in 3 time-ordered files so sessions span micro-batches
         src = str(tmp_path / "sess_src")
-        n = ev.count()
-        pdf = ev.toPandas().sort_values("ts").reset_index(drop=True)
+        # slice as python rows with an explicit NTZ schema: a pandas
+        # round-trip without one would infer TIMESTAMP and localize the
+        # naive datetimes through the (deliberately non-UTC) session TZ
+        srows = sorted(((r["user_id"], r["ts"]) for r in ev.collect()), key=lambda x: x[1])
+        n = len(srows)
         import os
 
         os.makedirs(src, exist_ok=True)
-        for i, chunk in enumerate([pdf.iloc[: n // 3], pdf.iloc[n // 3 : 2 * n // 3], pdf.iloc[2 * n // 3 :]]):
-            spark.createDataFrame(chunk).coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+        for i, chunk in enumerate([srows[: n // 3], srows[n // 3 : 2 * n // 3], srows[2 * n // 3 :]]):
+            spark.createDataFrame(chunk, "user_id long, ts timestamp_ntz").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{src}/f{i}")
         # stream each file dir in order through ONE query via a glob source
         flat = str(tmp_path / "sess_flat")
         os.makedirs(flat, exist_ok=True)
