@@ -34,7 +34,14 @@ from pyspark.sql import functions as F
 from sat_val_framework_spark.fixtures import DOCUMENTS_SCHEMA
 from sat_val_framework_spark.operators.drift import _EPS
 from sat_val_framework_spark.operators.stats import _norm_type
-from sat_val_framework_spark.verdicts import ERR_EMPTY_SERIES, ERROR, FAIL, PASS, sample_col
+from sat_val_framework_spark.verdicts import (
+    ERR_EMPTY_SERIES,
+    ERROR,
+    FAIL,
+    PASS,
+    merged_samples,
+    sample_col,
+)
 
 
 def _bin(col, lo0: float, width: float, n_bins: int):
@@ -251,10 +258,22 @@ def _run_fused_passes(
         F.sum(F.when(~ns_null & (bin_ns == b), 1).otherwise(0)).alias(f"h_ns_{b}")
         for b in range(nb_ns)
     ]
+    # two-level bounded sampling, still one scan: level 1 groups by
+    # (partition, input split) so each collect_list is bounded by split size
+    # (maxPartitionBytes), then level 2 merges ≤10 samples per split —
+    # a wholly-violating partition cannot OOM the final agg buffer
+    l1_a = d.groupBy("part_id", F.spark_partition_id().alias("__split")).agg(*aggs)
+    merge_a = [
+        F.sum("rows").alias("rows"),
+        F.sum("null_spans").alias("null_spans"),
+        merged_samples("null_samples").alias("null_samples"),
+        F.sum("ns_oob").alias("ns_oob"),
+        merged_samples("ns_samples").alias("ns_samples"),
+    ] + [F.sum(f"h_ns_{b}").alias(f"h_ns_{b}") for b in range(nb_ns)]
     # n_parts rows only — persist so the four consumers (schema, stats,
     # drift, ref's rows_scanned, uniqueness verdict) share ONE computation
     # of the pass instead of re-expanding the scan subtree each
-    wide_a = d.groupBy("part_id").agg(*aggs).persist()
+    wide_a = l1_a.groupBy("part_id").agg(*merge_a).persist()
 
     # driver-side structural schema comparison — same check the modular
     # schema_assert does (ADVICE r1: a structurally drifted input must FAIL
@@ -307,7 +326,14 @@ def _run_fused_passes(
         F.sum(F.when(F.col("tl").isNotNull() & (bin_tl == b), 1).otherwise(0)).alias(f"h_tl_{b}")
         for b in range(nb_tl)
     ]
-    wide_b_raw = exj.groupBy("part_id").agg(*aggs_b)
+    # same two-level bound as Pass A (an all-orphan partition is realistic:
+    # one missing catalog shard orphans every span that referenced it)
+    l1_b = exj.groupBy("part_id", F.spark_partition_id().alias("__split")).agg(*aggs_b)
+    merge_b = [
+        F.sum("orphans").alias("orphans"),
+        merged_samples("orphan_samples").alias("orphan_samples"),
+    ] + [F.sum(f"h_tl_{b}").alias(f"h_tl_{b}") for b in range(nb_tl)]
+    wide_b_raw = l1_b.groupBy("part_id").agg(*merge_b)
     # LEFT-join from Pass A's partition spine with zero-fill: a partition
     # whose docs all have NULL/empty spans produces NO rows after explode,
     # and without this its ref/text_len verdicts would never be emitted —

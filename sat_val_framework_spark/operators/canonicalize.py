@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sat_val_framework_spark.verdicts import FAIL, PASS, sample_col
+from sat_val_framework_spark.verdicts import FAIL, PASS, bounded_samples
 
 
 def canonicalize_spans(docs: DataFrame, part_col: str = "part_id") -> DataFrame:
@@ -83,9 +83,10 @@ def span_seq_check(
     per_part = actual.groupBy(F.col(part_col).alias("part_id")).agg(
         F.count(F.lit(1)).alias("rows_scanned")
     )
-    viol_agg = mismatches.groupBy("part_id").agg(
-        F.count(F.lit(1)).alias("violation_count"),
-        sample_col(F.col("doc_id"), F.lit(True)).alias("sample_violations"),
+    # bounded sampler: mismatches is all-violators — a wholly-mismatched
+    # partition would otherwise collect every doc_id into one agg buffer
+    viol_agg = bounded_samples(
+        mismatches.select("part_id", "doc_id"), "part_id", "doc_id"
     )
     verdicts = per_part.join(viol_agg, "part_id", "left").select(
         F.lit("span_seq_eq").alias("constraint_id"),

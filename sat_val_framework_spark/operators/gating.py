@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sat_val_framework_spark.verdicts import FAIL, PASS, sample_col
+from sat_val_framework_spark.verdicts import FAIL, PASS, bounded_samples
 
 
 def gate_documents(
@@ -41,9 +41,11 @@ def gate_documents(
     per_part = docs.groupBy(F.col(part_col).alias("part_id")).agg(
         F.count(F.lit(1)).alias("rows_scanned")
     )
-    rej_agg = rejected.groupBy(F.col(part_col).alias("part_id")).agg(
-        F.count(F.lit(1)).alias("violation_count"),
-        sample_col(F.col("doc_id"), F.lit(True)).alias("sample_violations"),
+    # bounded sampler (window top-10 + exact count): the rejected frame is
+    # all-violators, so a collect_list here would buffer every rejected id
+    # per partition — unbounded under a gate that rejects en masse
+    rej_agg = bounded_samples(
+        rejected.select(F.col(part_col).alias("part_id"), "doc_id"), "part_id", "doc_id"
     )
     verdicts = per_part.join(rej_agg, "part_id", "left").select(
         F.lit("gate:any_violation").alias("constraint_id"),

@@ -17,7 +17,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from sat_val_framework_spark.verdicts import FAIL, PASS, sample_col
+from sat_val_framework_spark.verdicts import (
+    FAIL,
+    PASS,
+    bounded_samples,
+    merged_samples,
+    sample_col,
+)
 
 
 @dataclass(frozen=True)
@@ -64,10 +70,21 @@ def schema_assert(
     if null_viol is None:
         null_viol = F.lit(False)
 
-    out = df.groupBy(F.col(part_col).alias("part_id")).agg(
+    # two-level bounded sampling (still ONE scan): the per-split collect is
+    # bounded by split size (maxPartitionBytes), and the per-partition merge
+    # sees at most 10 samples per split — a pathological partition (every
+    # row violating) no longer concentrates all its ids in one agg buffer
+    l1 = df.groupBy(
+        F.col(part_col).alias("part_id"), F.spark_partition_id().alias("__split")
+    ).agg(
         F.count(F.lit(1)).alias("rows_scanned"),
         F.sum(null_viol.cast("long")).alias("null_viols"),
         sample_col(F.col(id_col), null_viol).alias("sample_violations"),
+    )
+    out = l1.groupBy("part_id").agg(
+        F.sum("rows_scanned").alias("rows_scanned"),
+        F.sum("null_viols").alias("null_viols"),
+        merged_samples("sample_violations").alias("sample_violations"),
     )
     viol = F.col("null_viols") + F.lit(0 if schema_ok else 1)
     return out.select(
@@ -154,11 +171,19 @@ def column_stats(
 
     metrics has one row per (part_id, column) with count/null_rate/min/max/
     approx-quantiles; verdicts has one row per (constraint, part_id).
-    A single groupBy means a single scan + single shuffle regardless of how
-    many columns are checked — the multi-constraint scan-sharing SURVEY.md §4
-    calls out as custom work.
+    A single groupBy computes every scalar statistic for every spec — the
+    multi-constraint scan-sharing SURVEY.md §4 calls out as custom work.
+
+    Violation SAMPLES come from a second, filter-pushed pass over only the
+    violating rows (window top-10 per (partition, column), O(limit)
+    memory): percentile_approx cannot re-aggregate across a two-level
+    split, and an in-agg collect_list would buffer EVERY violator per
+    partition — the r2-measured OOM shape when a whole partition violates
+    (e.g. an all-null column). The sample scan reads only (part, id, spec
+    columns) with the violation predicate pushed to the scan.
     """
     aggs = [F.count(F.lit(1)).alias("rows_scanned")]
+    conds = []  # (spec column name, its sample condition)
     for s in specs:
         c = F.col(s.column)
         oob = F.lit(False)
@@ -166,6 +191,7 @@ def column_stats(
             oob = oob | (c < s.lo)
         if s.hi is not None:
             oob = oob | (c > s.hi)
+        conds.append((s.column, oob | c.isNull()))
         aggs += [
             F.sum(c.isNull().cast("long")).alias(f"{s.column}__nulls"),
             F.min(c).cast("double").alias(f"{s.column}__min"),
@@ -173,9 +199,23 @@ def column_stats(
             F.avg(c).alias(f"{s.column}__avg"),
             F.percentile_approx(c, list(s.quantiles)).alias(f"{s.column}__q"),
             F.sum(oob.cast("long")).alias(f"{s.column}__oob"),
-            sample_col(F.col(id_col), oob | c.isNull()).alias(f"{s.column}__samples"),
         ]
     wide = df.groupBy(F.col(part_col).alias("part_id")).agg(*aggs)
+
+    # one violator pass for ALL specs: explode each row into the spec names
+    # it violates, then bounded top-10 per (part_id, col_name)
+    any_viol = F.array(*[F.when(cond, F.lit(name)) for name, cond in conds])
+    viol_rows = (
+        df.select(
+            F.col(part_col).alias("part_id"),
+            F.col(id_col),
+            F.explode(any_viol).alias("col_name"),
+        )
+        .filter(F.col("col_name").isNotNull())
+    )
+    samples = bounded_samples(viol_rows, ["part_id", "col_name"], id_col).select(
+        "part_id", "col_name", "sample_violations"
+    )
 
     metrics = None
     verdicts = None
@@ -196,12 +236,27 @@ def column_stats(
         )
         v = wide.select(
             F.lit(f"stats:{s.column}").alias("constraint_id"),
+            F.lit(s.column).alias("col_name"),
             F.col("part_id"),
             F.when(viol > 0, F.lit(FAIL)).otherwise(F.lit(PASS)).alias("status"),
             F.col("rows_scanned"),
             viol.cast("long").alias("violation_count"),
-            F.col(f"{p}samples").alias("sample_violations"),
         )
         metrics = m if metrics is None else metrics.unionByName(m)
         verdicts = v if verdicts is None else verdicts.unionByName(v)
+    # ONE samples join after the union so the violator pass appears once in
+    # the plan (a per-spec join would re-scan it per branch)
+    verdicts = (
+        verdicts.join(samples, ["part_id", "col_name"], "left")
+        .select(
+            "constraint_id",
+            "part_id",
+            "status",
+            "rows_scanned",
+            "violation_count",
+            F.coalesce(F.col("sample_violations"), F.array().cast("array<string>")).alias(
+                "sample_violations"
+            ),
+        )
+    )
     return verdicts, metrics

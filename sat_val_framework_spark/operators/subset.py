@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sat_val_framework_spark.verdicts import FAIL, PASS, sample_col
+from sat_val_framework_spark.verdicts import FAIL, PASS, merged_samples, sample_col
 
 
 def subset_check(
@@ -30,19 +30,24 @@ def subset_check(
     One scan computes both verdict counters and the surviving set's filter
     (the filter itself is lazy and fuses into downstream consumers).
 
-    Sampling bound: samples ride the same single hash-agg (collect-then-
-    slice), so per-group memory is O(rejected-per-partition). A predicate
-    expected to reject most of a huge partition should sample via
-    ``verdicts.bounded_samples`` over the ``rejected`` frame instead (one
-    extra pass, O(10) memory) — the violations sink already persists the
-    full rejected set either way.
+    Sampling bound: the two-level (partition, input-split) aggregate keeps
+    the per-group collect bounded by split size even when a predicate
+    rejects most of a huge partition (the r2-measured OOM shape) — still
+    one scan; the violations sink persists the full rejected set either way.
     """
     keep = F.expr(predicate)
     rejected_flag = ~F.coalesce(keep, F.lit(False))  # NULL predicate = reject (None contract)
-    per_part = docs.groupBy(F.col(part_col).alias("part_id")).agg(
+    l1 = docs.groupBy(
+        F.col(part_col).alias("part_id"), F.spark_partition_id().alias("__split")
+    ).agg(
         F.count(F.lit(1)).alias("rows_scanned"),
         F.sum(rejected_flag.cast("long")).alias("violation_count"),
         sample_col(F.col(id_col), rejected_flag).alias("sample_violations"),
+    )
+    per_part = l1.groupBy("part_id").agg(
+        F.sum("rows_scanned").alias("rows_scanned"),
+        F.sum("violation_count").alias("violation_count"),
+        merged_samples("sample_violations").alias("sample_violations"),
     )
     verdicts = per_part.select(
         F.lit(constraint_id).alias("constraint_id"),

@@ -133,29 +133,51 @@ def sample_col(violation_expr: Column, cond: Column, limit: int = 10) -> Column:
     (SURVEY.md §7 hard part (d)).
 
     Bound caveat: collect_list gathers EVERY violator in the group before
-    the slice, which is fine for the expected few-violations regime but
-    heavy when violations explode (a viral duplicate key). Paths where that
-    regime is realistic use ``bounded_samples`` instead."""
+    the slice, so per-group memory is O(violators in the group). Safe ONLY
+    when the group is an input split — i.e. inside the two-level pattern:
+    ``groupBy(part, spark_partition_id())`` with this expression, then
+    ``groupBy(part)`` with ``merged_samples`` — where the collect is bounded
+    by split size (spark.sql.files.maxPartitionBytes), not by data skew.
+    Violation-row frames use ``bounded_samples`` (window top-k) instead."""
     return F.slice(
         F.sort_array(F.collect_list(F.when(cond, violation_expr))), 1, limit
     )
 
 
+def merged_samples(col_name: str, limit: int = 10) -> Column:
+    """Level 2 of the two-level bounded sample: merge per-split sample
+    arrays (each already sliced to ``limit`` smallest) into the global
+    ``limit`` smallest. Correct because every split contributed its own
+    ``limit`` smallest, so the global smallest are in the union; memory is
+    O(n_splits_per_part × limit), metadata-sized."""
+    return F.slice(F.sort_array(F.flatten(F.collect_list(F.col(col_name)))), 1, limit)
+
+
 def bounded_samples(
-    rows: DataFrame, part_col: str, key_col: str, limit: int = 10
+    rows: DataFrame, part_col: str | list[str], key_col: str, limit: int = 10
 ) -> DataFrame:
-    """-> (part_id, violation_count, sample_violations): exact per-partition
-    count + the ``limit`` smallest keys, via ONE window sort instead of a
-    collect_list — memory stays O(limit) per group no matter how many
-    violations there are (1.2M copies of one hot key collected 2.5× slower
-    and would OOM a reducer at 10^12 scale; measured r2). Same output as
-    the sample_col formulation — 10 smallest keys, deterministic."""
-    wp = Window.partitionBy(part_col)
+    """-> (part_id[, extra group cols], violation_count, sample_violations):
+    exact per-group count + the ``limit`` smallest keys, via ONE window sort
+    instead of a collect_list — memory stays O(limit) per group no matter
+    how many violations there are (1.2M copies of one hot key collected
+    2.5× slower and would OOM a reducer at 10^12 scale; measured r2). Same
+    output as the sample_col formulation — 10 smallest keys, deterministic.
+
+    ``part_col`` may be a list for composite grouping (e.g. (part_id,
+    col_name) in the multi-spec stats sampler); a single string keeps the
+    historical ``part_id`` output alias."""
+    cols = [part_col] if isinstance(part_col, str) else list(part_col)
+    wp = Window.partitionBy(*cols)
     wo = wp.orderBy(key_col)
+    group = (
+        [F.col(cols[0]).alias("part_id")]
+        if len(cols) == 1
+        else [F.col(c) for c in cols]
+    )
     return (
         rows.withColumn("__n", F.count(F.lit(1)).over(wp))
         .withColumn("__rn", F.row_number().over(wo))
         .filter(F.col("__rn") <= limit)
-        .groupBy(F.col(part_col).alias("part_id"), F.col("__n").alias("violation_count"))
+        .groupBy(*group, F.col("__n").alias("violation_count"))
         .agg(F.sort_array(F.collect_list(F.col(key_col).cast("string"))).alias("sample_violations"))
     )

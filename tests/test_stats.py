@@ -50,13 +50,33 @@ def test_column_stats_bounds_violations(docs):
 
 
 def test_single_fused_aggregation(docs):
-    """Two specs must not cause two scans: the plan contains one Aggregate."""
+    """N specs must not cause N scalar-agg scans: every scalar statistic for
+    every spec rides ONE wide agg (its subtree appears once per union
+    branch), plus exactly ONE bounded violator-sample pass shared by all
+    specs — never a per-spec sample scan."""
     d = profile.with_n_spans(docs).withColumn("n2", F.col("n_spans") * 2)
     verdicts, _ = column_stats(d, [StatSpec("n_spans"), StatSpec("n2")])
-    # verdicts = union of selects over ONE shared wide agg; physical plan of
-    # either branch reuses the same exchange. Count HashAggregate pairs.
     plan = verdicts._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Scan ") <= 2  # union of two branches over one cached agg at most
+    # 2 union branches over the shared wide agg + 1 shared sample pass
+    assert plan.count("Scan ") <= 3
+
+
+def test_column_stats_all_null_partition_bounded_samples(spark):
+    """Pathological input: a partition whose spec column is 100% NULL (every
+    row violates). The bounded sampler must return the 10 smallest ids and
+    the exact violation count — the r2-measured OOM shape was an in-agg
+    collect_list buffering every violator id per partition."""
+    rows = [(f"d{i:05d}", 0, None) for i in range(5000)] + [
+        (f"e{i:05d}", 1, i) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, part_id int, x int").repartition(8)
+    verdicts, metrics = column_stats(df, [StatSpec("x", max_null_rate=0.0)])
+    v = {r["part_id"]: r for r in verdicts.collect()}
+    assert v[0]["violation_count"] == 5000
+    assert v[0]["status"] == "FAIL"
+    assert v[0]["sample_violations"] == [f"d{i:05d}" for i in range(10)]
+    assert v[1]["violation_count"] == 0
+    assert v[1]["sample_violations"] == []
 
 
 def test_cardinality_profile_exact_and_approx(spark):
