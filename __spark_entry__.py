@@ -91,6 +91,14 @@ def q_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_keys(li, "l_orderkey").withColumnRenamed("l_orderkey", "key")
 
 
+def q_uniqueness_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 composite-key variant: duplicate (l_orderkey, l_linenumber) tuples
+    — the real-table uniqueness shape ((source, doc_id), (doc_id, snapshot));
+    same salted two-level aggregate, shuffling on the tuple hash."""
+    li = _t(spark, sf_dir, "lineitem")
+    return duplicate_keys(li, ["l_orderkey", "l_linenumber"])
+
+
 def q_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B5: orphans via broadcast LEFT ANTI join (clean data -> empty set,
     which is itself the assertion)."""
@@ -269,6 +277,13 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash16(_t_wide(spark, sf_dir, "documents"))
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signature, 16-bit chunk LSH (pigeonhole
+    recall guarantee for hamming <= 3), exact popcount verify — the third
+    dedup flavor's LSH->verify composition (functions/dedup.py)."""
+    return dedup.simhash_near_dup(_t_wide(spark, sf_dir, "documents"), max_hamming=3)
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -677,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_per_source": q_stats_per_source,
         "null_rates": q_null_rates,
         "uniqueness": q_uniqueness,
+        "uniqueness_multi": q_uniqueness_multi,
         "referential_orphans": q_referential_orphans,
         "ref_coverage": q_ref_coverage,
         "span_canonicalize": q_span_canonicalize,
@@ -689,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "simhash_near_dup": q_simhash_near_dup,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
@@ -780,6 +797,44 @@ _LSH_CTES = f"""
 """
 
 
+# 64-bit SimHash + 16-bit-chunk LSH + exact hamming verify, mirroring
+# dedup.simhash_bits/simhash_near_dup (explode -> md5 once -> digit decode ->
+# 64 bit-vote sums -> majority bit string; chunk equi-join; popcount verify)
+def _simhash64_near_dup_sql(max_hamming: int = 3) -> str:
+    digits = ", ".join(
+        f"('0x' || substr(h, {k + 1}, 1))::bigint AS g{k}" for k in range(16)
+    )
+    votes = ", ".join(
+        f"sum(CASE WHEN (g{j // 4} & {1 << (3 - j % 4)}) > 0 THEN 1 ELSE 0 END) AS v{j}"
+        for j in range(64)
+    )
+    sig = " || ".join(
+        f"CASE WHEN v{j} * 2 >= n_tok THEN '1' ELSE '0' END" for j in range(64)
+    )
+    return f"""
+        WITH toks64 AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        h64 AS (SELECT doc_id, md5(tok) AS h FROM toks64),
+        g64 AS (SELECT doc_id, {digits} FROM h64),
+        v64 AS (SELECT doc_id, count(*) AS n_tok, {votes} FROM g64 GROUP BY doc_id),
+        sig64 AS (SELECT doc_id, {sig} AS simhash FROM v64),
+        chunks AS (SELECT doc_id, simhash, j.chunk_id,
+                          substr(simhash, j.chunk_id * 16 + 1, 16) AS chunk_key
+                   FROM sig64, (SELECT unnest([0, 1, 2, 3]) AS chunk_id) j),
+        cand64 AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sig_a,
+                                   b.doc_id AS doc_b, b.simhash AS sig_b
+                   FROM chunks a JOIN chunks b
+                     ON a.chunk_id = b.chunk_id AND a.chunk_key = b.chunk_key
+                    AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, hamming FROM (
+            SELECT doc_a, doc_b,
+                   list_sum(list_transform(generate_series(1, 64),
+                       p -> CASE WHEN substr(sig_a, p::int, 1) != substr(sig_b, p::int, 1)
+                                 THEN 1 ELSE 0 END))::int AS hamming
+            FROM cand64)
+        WHERE hamming <= {max_hamming}
+    """
+
+
 def _sign_key_sql(start: int = 0, n_bits: int = 8) -> str:
     """Sign-bit bucket key over dims [start, start+n_bits) — DuckDB lists
     are 1-based, Spark arrays 0-based."""
@@ -845,6 +900,10 @@ def oracle_sql() -> dict[str, str]:
         "uniqueness": """
             SELECT l_orderkey AS key, count(*) AS dup_count
             FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+        """,
+        "uniqueness_multi": """
+            SELECT l_orderkey, l_linenumber, count(*) AS dup_count
+            FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
         """,
         "referential_orphans": """
             SELECT o_orderkey AS orphan_key, o_custkey AS fk_value
@@ -956,6 +1015,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
             SELECT doc_id, {_simhash_sql()} AS simhash FROM toks
         """,
+        "simhash_near_dup": _simhash64_near_dup_sql(3),
         "fingerprint": """
             SELECT doc_id,
                    list_min(list_transform(

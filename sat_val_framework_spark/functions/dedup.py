@@ -230,6 +230,137 @@ def lsh_candidate_pairs(
     )
 
 
+def simhash_bits(
+    docs: DataFrame, n_bits: int = 64, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """n-bit SimHash as a bit string: bit j votes +1 when bit j of the
+    token's md5 is set, weighted by token frequency; bit j of the signature
+    is 1 when votes win the majority.
+
+    16-bit is the compact profile signature (simhash16); 64-bit is what the
+    near-dup pair-finder needs — its 16-bit LSH chunk keys give 2^16 bucket
+    values, so bucket sizes stay sub-linear in corpus size (4-bit chunks of
+    a 16-bit signature would yield 16 buckets = a quadratic self-join)."""
+    if n_bits % 4 or n_bits > 128:
+        raise ValueError("n_bits must be a multiple of 4, at most 128 (md5 width)")
+    # explode -> md5 once per token -> ONE hash-agg with n_bits cheap sums
+    # (the minhash plan shape): partial aggregation ships only n_bits ints
+    # per doc across the shuffle, and the expression tree stays small —
+    # the equivalent 64-wide array fold compiled to multi-MB codegen
+    rows = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    ).select("doc_id", F.md5("tok").alias("h"))
+    # one hex-digit decode per 4 bits, shared by the per-bit tests
+    digs = rows.select(
+        "doc_id",
+        *[
+            F.conv(F.substring("h", k + 1, 1), 16, 10).cast("int").alias(f"g{k}")
+            for k in range(n_bits // 4)
+        ],
+    )
+    aggs = [F.count(F.lit(1)).alias("n_tok")] + [
+        F.sum(
+            F.when(F.col(f"g{j // 4}").bitwiseAND(1 << (3 - j % 4)) > 0, 1).otherwise(0)
+        ).alias(f"v{j}")
+        for j in range(n_bits)
+    ]
+    votes = digs.groupBy("doc_id").agg(*aggs)
+    sig = F.concat(
+        *[
+            F.when(F.col(f"v{j}") * 2 >= F.col("n_tok"), F.lit("1")).otherwise(F.lit("0"))
+            for j in range(n_bits)
+        ]
+    )
+    # left join back so token-less docs (empty/NULL text) keep a NULL
+    # signature row instead of vanishing with the explode
+    sigs = votes.select("doc_id", sig.alias("simhash"))
+    return docs.select(F.col(id_col).alias("doc_id")).join(sigs, "doc_id", "left")
+
+
+def hamming_distance(sig_a: Column, sig_b: Column, n_bits: int) -> Column:
+    """Exact hamming distance between two equal-length bit strings, via
+    bit_count(XOR) over 32-bit halves (JVM intrinsics; 32-bit slices keep
+    conv's decimal output inside a signed long)."""
+    total = None
+    for start in range(1, n_bits + 1, 32):
+        w = min(32, n_bits - start + 1)
+        a = F.conv(F.substring(sig_a, start, w), 2, 10).cast("long")
+        b = F.conv(F.substring(sig_b, start, w), 2, 10).cast("long")
+        piece = F.bit_count(a.bitwiseXOR(b))
+        total = piece if total is None else total + piece
+    return total
+
+
+def simhash_near_dup(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_bits: int = 64,
+    n_chunks: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-duplicate pairs: LSH candidates -> exact hamming verify.
+
+    Same LSH->verify composition as jaccard_on_pairs / embedding near-dup
+    (the A10 matcher contract, /root/reference/sat_val_framework/
+    implement.py:140-143, SimHash flavor). The signature is split into
+    ``n_chunks`` equal bit-chunks; by pigeonhole, two signatures within
+    hamming distance ``max_hamming`` < n_chunks agree EXACTLY on at least
+    one chunk — so the equi-join on (chunk_id, chunk_key) has guaranteed
+    recall (not probabilistic). Verify = popcount of the XOR.
+
+    Scale shape: chunk keys are (n_bits/n_chunks)-bit values — 2^16 with
+    the defaults — so the self-join shuffles on a high-cardinality key and
+    bucket sizes stay sub-linear; candidates are verified with pure JVM
+    bit ops, no second pass over the corpus."""
+    if max_hamming >= n_chunks:
+        raise ValueError(
+            f"pigeonhole recall needs max_hamming < n_chunks ({max_hamming} >= {n_chunks})"
+        )
+    w = n_bits // n_chunks
+    sigs = simhash_bits(docs, n_bits, text_col, id_col)
+    chunked = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("chunk_id"),
+                        F.substring("simhash", j * w + 1, w).alias("chunk_key"),
+                    )
+                    for j in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk_key")
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_key") == F.col("b.chunk_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.select(
+            "doc_a",
+            "doc_b",
+            hamming_distance(F.col("sig_a"), F.col("sig_b"), n_bits).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """16-bit SimHash as a bit string: bit j votes +1 when hex digit j of the
     token's md5 has its high bit set, weighted by token frequency.

@@ -22,8 +22,17 @@ from pyspark.sql import functions as F
 from sat_val_framework_spark.verdicts import FAIL, PASS, bounded_samples
 
 
-def duplicate_keys(df: DataFrame, key: str = "doc_id") -> DataFrame:
-    """Keys occurring more than once, with total counts.
+def _key_list(key: str | list[str]) -> list[str]:
+    """'doc_id' -> ['doc_id']; 'a,b' or ['a','b'] -> ['a','b'] — composite
+    uniqueness keys (e.g. (source, doc_id) or (doc_id, snapshot)); the A3
+    invariant contract (implement.py:106-107) generalized to key tuples."""
+    if isinstance(key, str):
+        return [k.strip() for k in key.split(",")] if "," in key else [key]
+    return list(key)
+
+
+def duplicate_keys(df: DataFrame, key: str | list[str] = "doc_id") -> DataFrame:
+    """Key (tuples) occurring more than once, with total counts.
 
     This IS the salted two-level aggregate, expressed so Spark executes it
     optimally: the physical plan is HashAggregate(partial_count per input
@@ -32,9 +41,12 @@ def duplicate_keys(df: DataFrame, key: str = "doc_id") -> DataFrame:
     the salt level explicitly (groupBy(key, spark_partition_id()) then
     re-aggregating) forces a SECOND exchange and measured 2x slower at 12M
     docs; partial aggregation already provides the level-one combine.
+    Composite keys shuffle on the full tuple hash — MORE uniform than any
+    single component, so the skew story only improves.
     """
+    keys = _key_list(key)
     return (
-        df.groupBy(key)
+        df.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("dup_count"))
         .filter(F.col("dup_count") > 1)
     )
@@ -42,14 +54,16 @@ def duplicate_keys(df: DataFrame, key: str = "doc_id") -> DataFrame:
 
 def uniqueness_check(
     df: DataFrame,
-    key: str = "doc_id",
+    key: str | list[str] = "doc_id",
     part_col: str = "part_id",
     attribution: str = "broadcast",
 ) -> tuple[DataFrame, DataFrame]:
     """-> (verdicts per partition, violation rows).
 
-    A row is a violation when its key occurs >1 times anywhere in the table
-    (duplicates span partitions), attributed to the partition holding it.
+    A row is a violation when its key (tuple) occurs >1 times anywhere in
+    the table (duplicates span partitions), attributed to the partition
+    holding it. ``key`` may be a list or comma-joined string for composite
+    uniqueness; the violation_key sample is then the '|'-joined tuple.
 
     The attribution join-back is broadcast EXPLICITLY: left to Catalyst it
     plans a SortMergeJoin (the agg output's size is unknown at plan time)
@@ -59,10 +73,17 @@ def uniqueness_check(
     violation count (healthy tables: tiny); for a pathological table where
     duplicates exceed broadcast capacity pass ``attribution='merge'``.
     """
-    dups = duplicate_keys(df, key)
+    keys = _key_list(key)
+    key = ",".join(keys)  # canonical id suffix; matches Check.constraint_id
+    dups = duplicate_keys(df, keys)
     build = F.broadcast(dups) if attribution == "broadcast" else dups
-    viol_rows = df.join(build, key, "inner").select(
-        F.col(part_col).alias("part_id"), F.col(key).alias("violation_key"), F.col("dup_count")
+    viol_key = (
+        F.col(keys[0])  # original type preserved for the single-key path
+        if len(keys) == 1
+        else F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    )
+    viol_rows = df.join(build, keys, "inner").select(
+        F.col(part_col).alias("part_id"), viol_key.alias("violation_key"), F.col("dup_count")
     )
     per_part = df.groupBy(F.col(part_col).alias("part_id")).agg(
         F.count(F.lit(1)).alias("rows_scanned")

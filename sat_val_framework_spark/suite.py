@@ -91,10 +91,18 @@ class CheckSuite:
                 errors.append(SuiteConfigError(f"unknown check kind '{c.kind}'"))
                 continue
             if c.kind in ("stats", "unique", "drift_ks", "drift_psi") and c.column:
-                if c.column not in derived and _field_type(schema, c.column) is None:
-                    errors.append(
-                        SuiteConfigError(f"{c.constraint_id}: column '{c.column}' not in schema")
-                    )
+                # 'unique' accepts a comma-joined composite key: each
+                # component must resolve (e.g. 'source,doc_id')
+                parts = (
+                    [k.strip() for k in c.column.split(",")]
+                    if c.kind == "unique"
+                    else [c.column]
+                )
+                for col in parts:
+                    if col not in derived and _field_type(schema, col) is None:
+                        errors.append(
+                            SuiteConfigError(f"{c.constraint_id}: column '{col}' not in schema")
+                        )
             if c.kind == "ref":
                 if not c.params.get("dim_table_alias"):
                     errors.append(SuiteConfigError(f"{c.constraint_id}: params.dim_table_alias required"))

@@ -126,3 +126,61 @@ def test_jaccard_on_pairs_threshold_filters(corpus):
     cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=3)
     rows = dedup.jaccard_on_pairs(cands, corpus, threshold=0.99).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(1, 2)}
+
+
+def _py_simhash64(text: str) -> str:
+    """Independent python oracle for simhash_bits(64)."""
+    import hashlib
+
+    toks = text.split()
+    votes = [0] * 64
+    for t in toks:
+        h = hashlib.md5(t.encode()).hexdigest()
+        for j in range(64):
+            if (int(h[j // 4], 16) >> (3 - j % 4)) & 1:
+                votes[j] += 1
+    return "".join("1" if v * 2 >= len(toks) else "0" for v in votes)
+
+
+def test_simhash_bits_matches_python_oracle(corpus):
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash_bits(corpus, 64).collect()}
+    for r in corpus.collect():
+        assert got[r["doc_id"]] == _py_simhash64(r["text"]), r["doc_id"]
+
+
+def test_simhash_near_dup_pigeonhole_recall(corpus):
+    """The chunk-LSH recall guarantee is exact, not probabilistic: EVERY pair
+    within hamming <= d (d < n_chunks) must be found. Brute-force all pairs
+    through the python signature oracle and compare."""
+    sigs = {r["doc_id"]: _py_simhash64(r["text"]) for r in corpus.collect()}
+    ids = sorted(sigs)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+            if ham <= 3:
+                expected[(a, b)] = ham
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_dup(corpus, max_hamming=3).collect()
+    }
+    assert got == expected
+    # the exact-dup pair must be among them at distance 0
+    assert got[(1, 2)] == 0
+
+
+def test_simhash_near_dup_rejects_invalid_params(corpus):
+    with pytest.raises(ValueError):
+        dedup.simhash_near_dup(corpus, max_hamming=4, n_chunks=4)
+
+
+def test_simhash_bits_tokenless_docs_get_null_sig(spark):
+    df = spark.createDataFrame(
+        [(1, "real words here"), (2, ""), (3, None)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash_bits(df, 64).collect()}
+    assert got[1] is not None and len(got[1]) == 64
+    assert got[2] is None and got[3] is None
+    # and token-less docs never appear in near-dup pairs
+    pairs = dedup.simhash_near_dup(df, max_hamming=3).collect()
+    assert not any(2 in (r["doc_a"], r["doc_b"]) or 3 in (r["doc_a"], r["doc_b"]) for r in pairs)

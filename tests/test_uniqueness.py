@@ -61,3 +61,53 @@ def test_sample_violations_deterministic_sorted(docs):
         s = r["sample_violations"]
         assert s == sorted(s)
         assert len(s) <= 10
+
+
+def test_composite_key_duplicates(spark):
+    """Composite-key uniqueness (A3 invariants over key tuples): (a, b)
+    tuples are the unit — rows sharing only one component are NOT dups;
+    list and comma-joined string forms are equivalent; cross-salt merge
+    holds (copies forced into different partitions)."""
+    rows = [
+        ("s1", 1, 0), ("s1", 1, 1),          # dup tuple, spans partitions
+        ("s1", 2, 0), ("s2", 1, 0),          # share one component each: unique
+        ("s2", 2, 0), ("s2", 2, 0), ("s2", 2, 1),  # triple dup tuple
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "part_id"]).repartition(4, "part_id")
+    got = {
+        (r["source"], r["doc_id"]): r["dup_count"]
+        for r in duplicate_keys(df, ["source", "doc_id"]).collect()
+    }
+    assert got == {("s1", 1): 2, ("s2", 2): 3}
+    # string form parses to the same keys
+    got2 = {
+        (r["source"], r["doc_id"]): r["dup_count"]
+        for r in duplicate_keys(df, "source,doc_id").collect()
+    }
+    assert got2 == got
+
+
+def test_composite_key_uniqueness_check_verdicts_and_samples(spark):
+    rows = [
+        ("s1", 1, 0), ("s1", 1, 1),
+        ("s1", 2, 0), ("s2", 1, 1),
+        ("s2", 2, 1), ("s2", 2, 1),
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "part_id"])
+    verdicts, viol = uniqueness_check(df, "source,doc_id")
+    v = {r["part_id"]: r for r in verdicts.collect()}
+    assert v[0]["violation_count"] == 1 and v[0]["status"] == "FAIL"
+    assert v[1]["violation_count"] == 3 and v[1]["status"] == "FAIL"
+    assert v[0]["sample_violations"] == ["s1|1"]  # tuple rendered as a|b
+    assert sorted(v[1]["sample_violations"]) == ["s1|1", "s2|2", "s2|2"]
+    assert {r["constraint_id"] for r in verdicts.collect()} == {"unique:source,doc_id"}
+
+
+def test_composite_key_suite_config_validates(spark, docs):
+    from sat_val_framework_spark.suite import Check, CheckSuite
+
+    ok = CheckSuite([Check("unique", "doc_id,part_id")])
+    assert ok.validate(docs) == []
+    bad = CheckSuite([Check("unique", "doc_id,nope")])
+    errs = bad.validate(docs)
+    assert len(errs) == 1 and "nope" in str(errs[0])
