@@ -157,22 +157,32 @@ def q_event_gating(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BIN_W, _N_BINS = 20.0, 25  # events.value ∈ [0, 500)
 
 
-def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B8: PSI of each event_type's value histogram vs the global one,
-    pure column expressions (JVM-side), fixed bin edges."""
+def _drift_base(spark: SparkSession, sf_dir: str):
+    """ONE histogram aggregate over events; glob/tot/n_all re-aggregate its
+    ~(n_groups x n_bins) rows instead of re-scanning the table, and n_all is
+    a 1-row frame crossJoined in (broadcast) — no eager .count() job (r2
+    VERDICT item 3: each drift query is now a single job)."""
     e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     b = F.least(F.floor(F.col("value") / _BIN_W), F.lit(_N_BINS - 1)).cast("int").alias("bin_id")
     obs = e.groupBy(F.col("event_type").alias("grp"), b).agg(F.count(F.lit(1)).alias("c"))
-    glob = e.groupBy(b).agg(F.count(F.lit(1)).alias("g"))
-    tot = e.groupBy(F.col("event_type").alias("grp")).agg(F.count(F.lit(1)).alias("t"))
-    n_all = e.count()
+    glob = obs.groupBy("bin_id").agg(F.sum("c").alias("g"))
+    tot = obs.groupBy("grp").agg(F.sum("c").alias("t"))
+    nall = obs.agg(F.sum("c").alias("n_all"))
+    return obs, glob, tot, nall
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: PSI of each event_type's value histogram vs the global one,
+    pure column expressions (JVM-side), fixed bin edges."""
+    obs, glob, tot, nall = _drift_base(spark, sf_dir)
     eps = F.lit(1e-6)
     joined = (
         glob.join(obs.join(tot, "grp"), "bin_id")
+        .crossJoin(nall)
         .select(
             "grp",
             (F.greatest(F.col("c") / F.col("t"), eps)).alias("p"),
-            (F.greatest(F.col("g") / F.lit(float(n_all)), eps)).alias("q"),
+            (F.greatest(F.col("g") / F.col("n_all"), eps)).alias("q"),
         )
     )
     return (
@@ -184,18 +194,13 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B7 (SQL-expressible twin): KS = max |CDF_grp - CDF_global| over the
     binned spine, via window cumulative sums."""
-    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    b = F.least(F.floor(F.col("value") / _BIN_W), F.lit(_N_BINS - 1)).cast("int").alias("bin_id")
-    n_all = e.count()
-    obs = e.groupBy(F.col("event_type").alias("grp"), b).agg(F.count(F.lit(1)).alias("c"))
-    glob = e.groupBy(b).agg(F.count(F.lit(1)).alias("g"))
-    tot = e.groupBy(F.col("event_type").alias("grp")).agg(F.count(F.lit(1)).alias("t"))
+    obs, glob, tot, nall = _drift_base(spark, sf_dir)
     spine = tot.select("grp", "t").crossJoin(glob)
-    full = spine.join(obs, ["grp", "bin_id"], "left").select(
+    full = spine.join(obs, ["grp", "bin_id"], "left").crossJoin(nall).select(
         "grp",
         "bin_id",
         (F.coalesce(F.col("c"), F.lit(0)) / F.col("t")).alias("p"),
-        (F.col("g") / F.lit(float(n_all))).alias("q"),
+        (F.col("g") / F.col("n_all")).alias("q"),
     )
     w = Window.partitionBy("grp").orderBy("bin_id")
     cdf = full.select(
@@ -374,11 +379,10 @@ def q_drift_ks_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same semantics as the SQL twin q_drift_ks, which is its oracle)."""
     import pandas as pd
 
-    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    b = F.least(F.floor(F.col("value") / _BIN_W), F.lit(_N_BINS - 1)).cast("int").alias("bin_id")
-    n_all = e.count()
-    glob = e.groupBy(b).agg((F.count(F.lit(1)) / F.lit(float(n_all))).alias("q"))
-    obs = e.groupBy(F.col("event_type").alias("grp"), b).agg(F.count(F.lit(1)).alias("c"))
+    obs, glob_counts, _tot, nall = _drift_base(spark, sf_dir)
+    glob = glob_counts.crossJoin(nall).select(
+        "bin_id", (F.col("g") / F.col("n_all")).alias("q")
+    )
     spine = obs.select("grp").distinct().crossJoin(glob)
     full = spine.join(obs, ["grp", "bin_id"], "left").na.fill({"c": 0})
 

@@ -57,6 +57,10 @@ HEADLINE = [
     "token_count_bpe",
     "cardinality_profile",
     "time_rollup",
+    # round-3 additions
+    "simhash_near_dup",
+    "uniqueness_multi",
+    "frequent_values",
 ]
 
 
@@ -101,7 +105,13 @@ def suite_throughput(spark, n_docs: int) -> dict:
     return {"suite_sec": round(dt, 3), "docs": n_docs, "docs_per_sec": round(n_docs / dt, 1)}
 
 
-def run_headline(spark, sf_dir: str) -> dict[str, float]:
+def run_headline(spark, sf_dir: str, reps: int = 3) -> tuple[dict[str, float], dict[str, float]]:
+    """-> (median latency per query over ``reps`` runs, max-min spread per
+    query). Medians, not single runs: r2-vs-r1 single cold runs read as an
+    18% regression that controlled A/Bs contradicted — host variance on this
+    box is ±15% run-to-run, and a median-of-3 suppresses most of it."""
+    import statistics
+
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -109,11 +119,16 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
     # not session startup
     _materialize(qs["stats_per_source"](spark, sf_dir))
     out: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        _materialize(qs[name](spark, sf_dir))
-        out[name] = round(time.time() - t0, 3)
-    return out
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            _materialize(qs[name](spark, sf_dir))
+            times.append(time.time() - t0)
+        out[name] = round(statistics.median(times), 3)
+        spread[name] = round(max(times) - min(times), 3)
+    return out, spread
 
 
 def make_spark(master: str):
@@ -173,7 +188,7 @@ def main() -> int:
         return 0
 
     spark = make_spark(f"local[{CPUS}]")
-    queries = run_headline(spark, SF_DIR)
+    queries, spread = run_headline(spark, SF_DIR)
     suite_throughput(spark, min(BENCH_DOCS, 200_000))  # JIT/Python-worker warmup
     suite = suite_throughput(spark, BENCH_DOCS)
     total = round(sum(queries.values()) + suite["suite_sec"], 3)
@@ -184,6 +199,8 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "query_reps": 3,
+                "query_spread_sec": spread,
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "suite_docs": suite["docs"],
                 "suite_sec": suite["suite_sec"],

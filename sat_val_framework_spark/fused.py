@@ -146,7 +146,13 @@ FUSED_CONSTRAINT_IDS = [
     "drift_ks:text_len",
     "drift_psi:text_len",
     "unique:doc_id",
+    "profile:n_spans",
 ]
+
+# fused profile counters cover n_spans values 0..PROFILE_DOMAIN-1 exactly
+# (structural max in the fixture is 17); out-of-domain values are counted
+# and yield a typed ERROR verdict instead of a silently-wrong profile
+PROFILE_DOMAIN = 32
 
 
 def run_suite_fused(
@@ -159,6 +165,8 @@ def run_suite_fused(
     stats_hi: float = 64,
     ks_threshold: float = 0.15,
     psi_threshold: float = 0.2,
+    profile_max_top_share: float = 0.9,
+    profile_min_entropy: float = 0.5,
     checkpoint_path: str | None = None,
     run_id: str | None = None,
 ) -> DataFrame:
@@ -208,6 +216,7 @@ def run_suite_fused(
     verdicts = _run_fused_passes(
         spark, scan_docs, docs, catalog, baseline, part_col,
         stats_lo, stats_hi, ks_threshold, psi_threshold,
+        profile_max_top_share, profile_min_entropy,
     )
     if checkpoint_path:
         if done_pairs:
@@ -230,6 +239,8 @@ def _run_fused_passes(
     stats_hi: float = 64,
     ks_threshold: float = 0.15,
     psi_threshold: float = 0.2,
+    profile_max_top_share: float = 0.9,
+    profile_min_entropy: float = 0.5,
 ) -> DataFrame:
     """The three passes. ``docs`` may be partition-filtered for resume;
     ``docs_all`` is the full table (uniqueness must see every row)."""
@@ -258,6 +269,30 @@ def _run_fused_passes(
         F.sum(F.when(~ns_null & (bin_ns == b), 1).otherwise(0)).alias(f"h_ns_{b}")
         for b in range(nb_ns)
     ]
+    # profile value counters: when the baseline histogram has UNIT bins from
+    # 0 (true for n_spans), the h_ns_* counters ARE exact value counts and
+    # the profile reuses them for free — only the overflow guard is added
+    # (bin clamping hides values outside [0, nb), and a clamped profile
+    # would be silently wrong; measured: 33 separate counters cost ~7% suite
+    # throughput at 12M, the reuse + 1 guard costs ~0)
+    unit_bins = lo_ns == 0.0 and w_ns == 1.0
+    pv_prefix, pv_domain = ("h_ns_", nb_ns) if unit_bins else ("pv_", PROFILE_DOMAIN)
+    if not unit_bins:
+        aggs += [
+            F.sum(F.when(F.col("n_spans") == v, 1).otherwise(0)).alias(f"pv_{v}")
+            for v in range(PROFILE_DOMAIN)
+        ]
+    aggs += [
+        # coalesce: a NULL n_spans makes the range predicate NULL, and an
+        # all-NULL partition would otherwise sum to NULL and fall through
+        # BOTH pv_oob filters (dropping its profile verdict entirely)
+        F.sum(
+            F.coalesce(
+                ((F.col("n_spans") < 0) | (F.col("n_spans") >= pv_domain)).cast("long"),
+                F.lit(0),
+            )
+        ).alias("pv_oob")
+    ]
     # two-level bounded sampling, still one scan: level 1 groups by
     # (partition, input split) so each collect_list is bounded by split size
     # (maxPartitionBytes), then level 2 merges ≤10 samples per split —
@@ -269,7 +304,9 @@ def _run_fused_passes(
         merged_samples("null_samples").alias("null_samples"),
         F.sum("ns_oob").alias("ns_oob"),
         merged_samples("ns_samples").alias("ns_samples"),
-    ] + [F.sum(f"h_ns_{b}").alias(f"h_ns_{b}") for b in range(nb_ns)]
+    ] + [F.sum(f"h_ns_{b}").alias(f"h_ns_{b}") for b in range(nb_ns)] + (
+        [] if unit_bins else [F.sum(f"pv_{v}").alias(f"pv_{v}") for v in range(PROFILE_DOMAIN)]
+    ) + [F.sum("pv_oob").alias("pv_oob")]
     # n_parts rows only — persist so the four consumers (schema, stats,
     # drift, ref's rows_scanned, uniqueness verdict) share ONE computation
     # of the pass instead of re-expanding the scan subtree each
@@ -305,6 +342,55 @@ def _run_fused_passes(
     drift_ns_v = _hist_verdicts(
         wide_a, "h_ns_", nb_ns, ref_ns, "n_spans", ks_threshold, psi_threshold
     )
+
+    # profile constraint from the SAME pass: per-part scalars derived from
+    # the value counters, then the shared verdict builder (identical
+    # thresholds/samples/ERROR semantics as the modular profile_check)
+    from sat_val_framework_spark.operators.stats import profile_verdicts_from_wide
+    from sat_val_framework_spark.verdicts import ERR_EXECUTION
+
+    pv = [F.col(f"{pv_prefix}{v}") for v in range(pv_domain)]
+    n_obs = None
+    n_distinct = None
+    clogc = None
+    for c in pv:
+        n_obs = c if n_obs is None else n_obs + c
+        d = (c > 0).cast("int")
+        n_distinct = d if n_distinct is None else n_distinct + d
+        t = F.when(c > 0, c.cast("double") * F.log(c)).otherwise(F.lit(0.0))
+        clogc = t if clogc is None else clogc + t
+    profile_wide = wide_a.select(
+        "part_id",
+        F.col("rows").alias("rows_scanned"),
+        n_obs.alias("n_obs"),
+        F.greatest(*pv).alias("top_n"),
+        n_distinct.alias("n_distinct"),
+        clogc.alias("clogc"),
+        F.col("pv_oob"),
+    )
+    profile_ok_v = profile_verdicts_from_wide(
+        profile_wide.filter(F.col("pv_oob") == 0),
+        "profile:n_spans",
+        max_top_share=profile_max_top_share,
+        min_entropy=profile_min_entropy,
+    )
+    # out-of-domain values: the fused counters cannot profile them exactly —
+    # a typed ERROR verdict (errors-as-values) tells the caller to run the
+    # modular profile_check, instead of a silently-truncated distribution
+    profile_oob_v = profile_wide.filter(F.col("pv_oob") > 0).select(
+        F.lit("profile:n_spans").alias("constraint_id"),
+        "part_id",
+        F.lit(ERROR).alias("status"),
+        F.lit(ERR_EXECUTION).alias("error_kind"),
+        F.col("rows_scanned").cast("long").alias("rows_scanned"),
+        F.lit(1).cast("long").alias("violation_count"),
+        F.array(
+            F.concat(F.lit(f"n_spans outside fused profile domain [0,{pv_domain}): "),
+                     F.col("pv_oob").cast("string"),
+                     F.lit(" rows; run modular profile_check"))
+        ).alias("sample_violations"),
+    )
+    profile_v = profile_ok_v.unionByName(profile_oob_v)
 
     # ---- Pass B: one span-level pass (explode shared by tl-drift + ref) -
     ex = docs.select(
@@ -412,4 +498,5 @@ def _run_fused_passes(
         .unionByName(ref_v, allowMissingColumns=True)
         .unionByName(drift_tl_v, allowMissingColumns=True)
         .unionByName(unique_v, allowMissingColumns=True)
+        .unionByName(profile_v, allowMissingColumns=True)
     )

@@ -49,6 +49,9 @@ DEFAULT_SUITE = CheckSuite(
         Check("drift_psi", "n_spans", {"threshold": 0.2}),
         Check("drift_ks", "text_len", {"threshold": 0.15}),
         Check("drift_psi", "text_len", {"threshold": 0.2}),
+        # distribution profile as a CONSTRAINT: catches a column collapsing
+        # to a constant (top-share) or degenerating (entropy floor)
+        Check("profile", "n_spans", {"max_top_share": 0.9, "min_entropy": 0.5}),
     ]
 )
 
@@ -245,6 +248,22 @@ def run_suite(
             # one shared pass, but each sibling's rows carry its own params
             for sib in siblings.values():
                 emit(out.filter(F.col("constraint_id") == sib.constraint_id), sib.params_json, t0)
+        elif c.kind == "profile":
+            from sat_val_framework_spark.operators.stats import profile_check
+
+            scoped, todo = pending_filter(c.constraint_id, profile.with_n_spans(docs))
+            if not todo:
+                skipped.append(c.constraint_id)
+                return
+            out = profile_check(
+                scoped,
+                c.column,
+                part_col,
+                max_top_share=c.params.get("max_top_share"),
+                min_entropy=c.params.get("min_entropy"),
+                min_distinct_ratio=c.params.get("min_distinct_ratio"),
+            )
+            emit(out, c.params_json, t0)
         elif c.kind == "subset":
             scoped, todo = pending_filter(c.constraint_id, docs)
             if not todo:

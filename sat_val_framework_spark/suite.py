@@ -25,8 +25,12 @@ KINDS = frozenset(
         "drift_psi",      # B8
         "span_seq",       # B9 canonical span-sequence equality
         "subset",         # A14: parameterized predicate subsetter
+        "profile",        # distribution profile as a constraint (top-share /
+                          # entropy / distinct-ratio thresholds)
     }
 )
+
+PROFILE_THRESHOLD_PARAMS = ("max_top_share", "min_entropy", "min_distinct_ratio")
 
 
 class SuiteConfigError(ValueError):
@@ -90,6 +94,18 @@ class CheckSuite:
             if c.kind not in KINDS:
                 errors.append(SuiteConfigError(f"unknown check kind '{c.kind}'"))
                 continue
+            if c.kind == "profile":
+                if not any(p in c.params for p in PROFILE_THRESHOLD_PARAMS):
+                    errors.append(
+                        SuiteConfigError(
+                            f"{c.constraint_id}: at least one of "
+                            f"{PROFILE_THRESHOLD_PARAMS} required"
+                        )
+                    )
+                if c.column and c.column not in derived and _field_type(schema, c.column) is None:
+                    errors.append(
+                        SuiteConfigError(f"{c.constraint_id}: column '{c.column}' not in schema")
+                    )
             if c.kind in ("stats", "unique", "drift_ks", "drift_psi") and c.column:
                 # 'unique' accepts a comma-joined composite key: each
                 # component must resolve (e.g. 'source,doc_id')

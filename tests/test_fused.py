@@ -127,11 +127,40 @@ def test_fused_matches_modular_with_all_null_spans_partition(spark, catalog, bas
     assert set(mk) == expected_pairs
     for k in mk:
         assert mk[k] == fk[k], (k, mk[k], fk[k])
-    # the empty partition's drift verdicts are typed ERRORs on both paths
+    # the empty partition's drift AND profile verdicts are typed ERRORs on
+    # both paths (n_spans is NULL everywhere on part 2)
     f_err = {r["constraint_id"]: r for r in fused if r["part_id"] == 2 and r["status"] == "ERROR"}
-    # n_spans is NULL everywhere on part 2 too, so BOTH drift columns error
     assert set(f_err) == {
         "drift_ks:text_len", "drift_psi:text_len",
         "drift_ks:n_spans", "drift_psi:n_spans",
+        "profile:n_spans",
     }
     assert all(r["error_kind"] == "EmptySeriesError" for r in f_err.values())
+
+
+def test_profile_constraint_fails_on_degenerate_column_both_paths(spark, catalog, baseline):
+    """A column collapsed to a constant must FAIL the profile constraint
+    (top_share=1 > 0.9, entropy=0 < 0.5) with the SAME verdict rows on the
+    modular and fused paths — threshold logic is one shared builder."""
+    from pyspark.sql import functions as F
+
+    from sat_val_framework_spark import fixtures as fx
+
+    base = fx.documents_df(spark, 400, n_parts=2)
+    # every non-null doc gets exactly one span -> n_spans == 1 everywhere
+    one = base.withColumn(
+        "spans", F.when(F.col("spans").isNotNull(), F.slice("spans", 1, 1))
+    )
+    modular = run_suite(
+        spark, one, DEFAULT_SUITE, catalog=catalog, baseline=baseline
+    ).verdicts
+    fused = run_suite_fused(spark, one, catalog, baseline)
+    mk = {r["part_id"]: r for r in modular.collect() if r["constraint_id"] == "profile:n_spans"}
+    fk = {r["part_id"]: r for r in fused.collect() if r["constraint_id"] == "profile:n_spans"}
+    assert set(mk) == set(fk) == {0, 1}
+    for p in mk:
+        assert mk[p]["status"] == fk[p]["status"] == "FAIL"
+        assert mk[p]["violation_count"] == fk[p]["violation_count"] == 2
+        assert mk[p]["sample_violations"] == fk[p]["sample_violations"]
+        assert any(s.startswith("top_share=1.0>") for s in mk[p]["sample_violations"])
+        assert any(s.startswith("entropy=") for s in mk[p]["sample_violations"])

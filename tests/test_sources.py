@@ -193,3 +193,60 @@ def test_bucketed_table_aggregates_and_joins_without_exchange(spark, tmp_path):
     # and the data round-trips intact
     assert t.count() == 500
     spark.sql("DROP TABLE IF EXISTS docs_bkt_test")
+
+
+def test_incremental_snapshot_validation(spark, tmp_path):
+    """Append -> incremental run scans ONLY the added files (asserted via
+    inputFiles), and the union of per-increment verdicts equals a full run
+    over the same snapshot for partition-scoped constraints (appends carry
+    fresh partitions, the date-partitioned-lake regime)."""
+    from pyspark.sql import functions as F
+
+    from sat_val_framework_spark.runner import run_suite
+    from sat_val_framework_spark.sources.snapshots import (
+        added_files,
+        read_increment,
+        read_snapshot,
+        validate_increment,
+        write_snapshot,
+    )
+    from sat_val_framework_spark.suite import Check, CheckSuite
+
+    tbl = str(tmp_path / "inc_tbl")
+    base = fx.documents_df(spark, 800, n_parts=4)            # parts 0-3
+    s1 = write_snapshot(base, tbl)
+    more = fx.documents_df(spark, 400, n_parts=2).withColumn(
+        "part_id", F.col("part_id") + 4                       # fresh parts 4-5
+    )
+    s2 = write_snapshot(more, tbl, mode="append")
+
+    # snapshot diff: only the files s2 added over s1
+    s1_files = set(read_snapshot(spark, tbl, s1).inputFiles())
+    add = added_files(tbl, s2)
+    assert add and not (set(add) & s1_files)
+    inc = read_increment(spark, tbl, s2)
+    assert inc.count() == 400
+    assert set(inc.inputFiles()) == {f"file://{f}" for f in add} or set(inc.inputFiles()) == set(add)
+
+    # partition-scoped suite (global uniqueness is explicitly out of an
+    # increment's scope — documented contract)
+    suite = CheckSuite([
+        Check("schema_assert", params={"not_null": ["spans"]}),
+        Check("stats", "n_spans", {"max_null_rate": 0.0, "lo": 1, "hi": 64}),
+    ])
+
+    def key(rows):
+        return {
+            (r["constraint_id"], r["part_id"]): (r["status"], r["rows_scanned"], r["violation_count"])
+            for r in rows
+        }
+
+    inc1 = validate_increment(spark, tbl, s1, suite=suite)
+    inc2 = validate_increment(spark, tbl, s2, suite=suite)
+    union = key(inc1.verdicts.collect()) | key(inc2.verdicts.collect())
+    full = key(run_suite(spark, read_snapshot(spark, tbl, s2), suite).verdicts.collect())
+    assert union == full and len(full) == 12  # 2 constraints x 6 parts
+
+    # lineage: every incremental verdict carries ITS snapshot id
+    assert {r["snapshot_id"] for r in inc2.verdicts.collect()} == {s2}
+    assert {r["snapshot_id"] for r in inc1.verdicts.collect()} == {s1}
