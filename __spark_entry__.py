@@ -291,6 +291,63 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dup(_t_wide(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over MinHash-LSH candidate pairs -> one
+    canonical cluster id per involved doc (iterative min-label propagation;
+    the oracle is a recursive CTE computing the same fixpoint)."""
+    d = _t_wide(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signature(d, k=12)
+    pairs = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=3)
+    return dedup.dedup_clusters(pairs)
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, repartition-invariant 25% sample by doc_id hash —
+    df.sample() would change under retries/cluster size; this never does."""
+    from sat_val_framework_spark.functions.sampling import hash_sample
+
+    return hash_sample(_t(spark, sf_dir, "documents"), "doc_id", 0.25).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-proof train/test assignment: side is a pure function of
+    (doc_id, salt) — no key ever migrates between sides."""
+    from sat_val_framework_spark.functions.sampling import train_test_split
+
+    return train_test_split(_t(spark, sf_dir, "documents"), "doc_id", 0.1).select(
+        "doc_id", "split"
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keep fractions (downsample dominant sources, keep rare
+    ones whole) with the same deterministic key hash."""
+    from sat_val_framework_spark.functions.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, "source", {"src0": 1.0, "src1": 0.5}, key_col="doc_id", default_fraction=0.1
+    ).select("doc_id", "source")
+
+
+_SEQ_LEN = 2048
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing: documents laid end-to-end into
+    2048-token training sequences per source shard, docs spanning sequence
+    boundaries split (one row per placement)."""
+    from sat_val_framework_spark.functions.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    with_len = d.select(
+        "source", "doc_id", text.n_tokens_col(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(with_len, _SEQ_LEN, shard_col="source")
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(_t_wide(spark, sf_dir, "documents"))
 
@@ -710,6 +767,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
+        "dedup_clusters": q_dedup_clusters,
+        "hash_sample": q_hash_sample,
+        "train_test_split": q_train_test_split,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
@@ -1020,6 +1082,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {_simhash_sql()} AS simhash FROM toks
         """,
         "simhash_near_dup": _simhash64_near_dup_sql(3),
+        # recursive CTE computes the same connected-components fixpoint as
+        # the iterative min-label propagation (labels spread along edges
+        # until closure; min per node = canonical cluster id)
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_LSH_CTES},
+            cands AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM cands
+                      UNION SELECT doc_b, doc_a FROM cands),
+            reach(node, label) AS (
+                SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+                UNION
+                SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+            )
+            SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+        """,
+        "hash_sample": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE ('0x' || substr(md5('v1:' || doc_id::varchar), 1, 15))::bigint
+                  % 1000000 < 250000
+        """,
+        "train_test_split": """
+            SELECT doc_id,
+                   CASE WHEN ('0x' || substr(md5('split-v1:' || doc_id::varchar), 1, 15))::bigint
+                             % 1000000 < 100000
+                        THEN 'test' ELSE 'train' END AS split
+            FROM documents
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(md5('v1:' || doc_id::varchar), 1, 15))::bigint % 1000000 <
+                  CASE WHEN source = 'src1' THEN 500000
+                       WHEN source = 'src0' THEN 1000000
+                       ELSE 100000 END
+        """,
+        "pack_sequences": f"""
+            WITH t AS (SELECT source AS shard, doc_id, len({_TOKS})::bigint AS n_tokens
+                       FROM documents),
+            tf AS (SELECT * FROM t WHERE n_tokens > 0),
+            c AS (SELECT shard, doc_id, n_tokens,
+                         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint AS cum_prev
+                  FROM tf),
+            e AS (SELECT shard, doc_id, n_tokens, cum_prev,
+                         unnest(generate_series(cum_prev // 2048,
+                                                (cum_prev + n_tokens - 1) // 2048))::bigint AS seq_id
+                  FROM c)
+            SELECT shard, doc_id, n_tokens, seq_id,
+                   (greatest(cum_prev, seq_id * 2048) - seq_id * 2048)::int AS seq_offset,
+                   (greatest(cum_prev, seq_id * 2048) - cum_prev)::int AS doc_offset,
+                   (least(cum_prev + n_tokens, seq_id * 2048 + 2048)
+                    - greatest(cum_prev, seq_id * 2048))::int AS span_tokens
+            FROM e
+        """,
         "fingerprint": """
             SELECT doc_id,
                    list_min(list_transform(

@@ -361,6 +361,71 @@ def simhash_near_dup(
     )
 
 
+def dedup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b",
+                   max_iterations: int = 50) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, cluster_id):
+    the step a pipeline actually runs on a pair list — group transitively
+    connected documents so one keeper per cluster survives. cluster_id is
+    the minimum doc_id reachable from the node (canonical, deterministic).
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels; converges in
+    O(graph diameter) rounds (near-dup clusters are shallow: diameter is
+    small even when clusters are large). Each round is ONE equi-join +
+    hash-agg on high-cardinality keys — no driver-side graph, and
+    ``localCheckpoint`` truncates the lineage so round N's plan does not
+    re-execute rounds 1..N-1. The driver loop only evaluates a 1-row
+    convergence count per round (metadata, not data). At 10^12 docs the
+    same loop runs with the label frame persisted to disk; the label-prop
+    round count — not data volume — bounds iterations.
+
+    Genuinely iterative (not single-query SQL) — the oracle twin uses a
+    recursive CTE, which computes the same fixpoint."""
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("node").alias("b"), F.col("label").alias("nbr_label")), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def keep_one_per_cluster(docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keeper selection: every doc keeps its row unless it belongs to a
+    near-dup cluster and is not the cluster's canonical (minimum) id —
+    the end of the dedup pipeline (find pairs -> cluster -> drop). Left
+    join + filter: docs outside any cluster pass through untouched."""
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(drop.withColumnRenamed("doc_id", id_col), id_col, "left_anti")
+
+
 def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """16-bit SimHash as a bit string: bit j votes +1 when hex digit j of the
     token's md5 has its high bit set, weighted by token frequency.
