@@ -209,6 +209,24 @@ def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdf.groupBy("grp").agg(_r6(F.max("d")).alias("ks"))
 
 
+def q_drift_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 family: Wasserstein-1 drift (∫|CDF_grp − CDF_global|, in value
+    units) — robust where KS saturates; same single base histogram."""
+    obs, glob, tot, nall = _drift_base(spark, sf_dir)
+    spine = tot.select("grp", "t").crossJoin(glob)
+    full = spine.join(obs, ["grp", "bin_id"], "left").crossJoin(nall).select(
+        "grp",
+        "bin_id",
+        (F.coalesce(F.col("c"), F.lit(0)) / F.col("t")).alias("p"),
+        (F.col("g") / F.col("n_all")).alias("q"),
+    )
+    w = Window.partitionBy("grp").orderBy("bin_id")
+    cdf = full.select(
+        "grp", F.abs(F.sum("p").over(w) - F.sum("q").over(w)).alias("d")
+    )
+    return cdf.groupBy("grp").agg(_r6(F.sum("d") * _BIN_W).alias("emd"))
+
+
 def q_verdict_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B11: errors-as-values — a mini-suite emitting one verdict row per
     (constraint, group), never raising (implement.py:23-56 contract)."""
@@ -760,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_gating": q_event_gating,
         "drift_psi": q_drift_psi,
         "drift_ks": q_drift_ks,
+        "drift_emd": q_drift_emd,
         "verdict_union": q_verdict_union,
         "checkpoint_pending": q_checkpoint_pending,
         "dedup_exact": q_dedup_exact,
@@ -921,8 +940,9 @@ _MEDIA_CAT_SQL = """
 """
 
 # shared by "drift_ks" and "drift_ks_pandas" (the applyInPandas kernel
-# computes the same zero-filled-spine KS; this SQL is the oracle for both)
-_DRIFT_KS_SQL = """
+# computes the same zero-filled-spine KS; this SQL is the oracle for both);
+# the cdf CTE also backs the EMD oracle (sum of |cdf diff| × bin width)
+_DRIFT_CDF_PREFIX = """
     WITH e AS (SELECT event_type,
                       least(floor(value / 20.0), 24)::int AS bin_id
                FROM events WHERE value IS NOT NULL),
@@ -939,8 +959,11 @@ _DRIFT_KS_SQL = """
                    abs(sum(p) OVER (PARTITION BY grp ORDER BY bin_id)
                      - sum(q) OVER (PARTITION BY grp ORDER BY bin_id)) AS d
             FROM full_h)
-    SELECT grp, round(max(d), 6) AS ks FROM cdf GROUP BY grp
 """
+_DRIFT_KS_SQL = _DRIFT_CDF_PREFIX + "    SELECT grp, round(max(d), 6) AS ks FROM cdf GROUP BY grp"
+_DRIFT_EMD_SQL = (
+    _DRIFT_CDF_PREFIX + "    SELECT grp, round(sum(d) * 20.0, 6) AS emd FROM cdf GROUP BY grp"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1011,6 +1034,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY grp
         """,
         "drift_ks": _DRIFT_KS_SQL,
+        "drift_emd": _DRIFT_EMD_SQL,
         # the pandas/Arrow kernel computes the same zero-filled-spine KS, so
         # the SQL twin is its oracle too (VERDICT r1 item 3)
         "drift_ks_pandas": _DRIFT_KS_SQL,

@@ -104,6 +104,8 @@ def drift_scores(
         ref[r["bin_id"]] = r["ref_frac"]
     ref_cum = ref.cumsum()
 
+    width = edges[1]
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         real = pdf[pdf["bin_id"] >= 0]  # bin -1 = the NULL bin (spine only)
         counts = np.zeros(n_bins)
@@ -112,10 +114,15 @@ def drift_scores(
         if n == 0:
             # nothing to compare: the statistic is undefined, not zero —
             # surfaced as NaN so drift_check emits a typed ERROR verdict
-            ks = psi = float("nan")
+            ks = psi = emd = float("nan")
         else:
             p = counts / n
-            ks = float(np.abs(p.cumsum() - ref_cum).max())
+            cdf_diff = np.abs(p.cumsum() - ref_cum)
+            ks = float(cdf_diff.max())
+            # Wasserstein-1 on the binned support: ∫|CDF_p − CDF_q| — in the
+            # column's units (× bin width), so thresholds mean "average mass
+            # moved this many units", robust where KS saturates
+            emd = float(cdf_diff.sum() * width)
             pc = np.clip(p, _EPS, None)
             qc = np.clip(ref, _EPS, None)
             psi = float(((pc - qc) * np.log(pc / qc)).sum())
@@ -125,12 +132,13 @@ def drift_scores(
                 "rows_scanned": [int(n)],
                 "ks": [ks],
                 "psi": [psi],
+                "emd": [emd],
             }
         )
 
     obs = histogram(series, edges, part_col, value_col, null_bin=True)
     return obs.groupBy("part_id").applyInPandas(
-        kernel, schema="part_id int, rows_scanned long, ks double, psi double"
+        kernel, schema="part_id int, rows_scanned long, ks double, psi double, emd double"
     )
 
 
@@ -140,6 +148,7 @@ def drift_check(
     col_name: str,
     ks_threshold: float = 0.15,
     psi_threshold: float = 0.2,
+    emd_threshold: float = 1.0,
     part_col: str = "part_id",
     value_col: str = "value",
     stats: tuple[str, ...] = ("ks", "psi"),
@@ -152,7 +161,7 @@ def drift_check(
     ERROR verdict (EmptySeriesError) instead of silently vanishing."""
     scores = drift_scores(series, baseline, col_name, part_col, value_col)
     empty_samples = F.array().cast("array<string>")
-    thresholds = {"ks": ks_threshold, "psi": psi_threshold}
+    thresholds = {"ks": ks_threshold, "psi": psi_threshold, "emd": emd_threshold}
 
     def verdict(stat: str) -> DataFrame:
         threshold = thresholds[stat]

@@ -57,6 +57,8 @@ DEFAULT_SUITE = CheckSuite(
 
 _SERIES = {"n_spans": profile.n_spans_series, "text_len": profile.text_len_series}
 
+DRIFT_KINDS = ("drift_ks", "drift_psi", "drift_emd")
+
 
 @dataclass
 class RunResult:
@@ -127,7 +129,7 @@ def run_suite(
     # and only requested statistics are computed (ADVICE r1)
     drift_cols: dict[str, dict[str, Check]] = {}
     for c in suite.checks:
-        if c.kind in ("drift_ks", "drift_psi"):
+        if c.kind in DRIFT_KINDS:
             drift_cols.setdefault(c.column, {})[c.kind] = c
 
     def pending_ids(cids: list[str]) -> list[int] | None:
@@ -222,7 +224,7 @@ def run_suite(
                     viol, violations_path, run_id, c.constraint_id, key_col="media_ref"
                 )
             emit(out, c.params_json, t0)
-        elif c.kind in ("drift_ks", "drift_psi"):
+        elif c.kind in DRIFT_KINDS:
             if baseline is None:
                 raise ValueError("drift checks require baseline=")
             siblings = drift_cols[c.column]  # {kind: Check} for this column
@@ -242,6 +244,9 @@ def run_suite(
                 psi_threshold=float(siblings["drift_psi"].params["threshold"])
                 if "drift_psi" in siblings
                 else 0.2,
+                emd_threshold=float(siblings["drift_emd"].params["threshold"])
+                if "drift_emd" in siblings
+                else 1.0,
                 part_col=part_col,
                 stats=tuple(k.removeprefix("drift_") for k in siblings),
             )
@@ -292,7 +297,7 @@ def run_suite(
     seen_drift: set[str] = set()
     for c in suite.checks:
         t0 = time.time()
-        if c.kind in ("drift_ks", "drift_psi"):
+        if c.kind in DRIFT_KINDS:
             if c.column in seen_drift:
                 continue  # sibling stat already handled by the shared pass
             seen_drift.add(c.column)
@@ -309,7 +314,7 @@ def run_suite(
             kind = error_kind_of(exc)
             affected = (
                 list(drift_cols[c.column].values())
-                if c.kind in ("drift_ks", "drift_psi")
+                if c.kind in DRIFT_KINDS
                 else [c]
             )
             for chk in affected:

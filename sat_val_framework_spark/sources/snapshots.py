@@ -55,14 +55,51 @@ def snapshots(table_dir: str) -> list[dict]:
     ]
 
 
-def write_snapshot(df: DataFrame, table_dir: str, mode: str = "append") -> str:
+def _strip_scheme(p: str) -> str:
+    return p[7:] if p.startswith("file://") else p
+
+
+def _file_stats(df_written, files: list[str], stats_cols: list[str]) -> dict:
+    """Per-file min/max for the listed columns — the manifest-level column
+    statistics Iceberg keeps per data file, computed with ONE hash-agg over
+    the just-written files (grouped on input_file_name)."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in stats_cols:
+        aggs += [F.min(c).alias(f"min__{c}"), F.max(c).alias(f"max__{c}")]
+    rows = (
+        df_written.withColumn("__f", F.input_file_name())
+        .groupBy("__f")
+        .agg(*aggs)
+        .collect()  # one row per data file: metadata-sized
+    )
+    stats: dict = {}
+    for r in rows:
+        f = _strip_scheme(r["__f"])
+        stats[f] = {c: [r[f"min__{c}"], r[f"max__{c}"]] for c in stats_cols}
+    return {f: stats.get(f, {}) for f in files}
+
+
+def write_snapshot(
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+    stats_cols: list[str] | None = None,
+) -> str:
     """Write ``df`` as a new immutable snapshot; returns its snapshot id.
 
     mode='append': the new snapshot covers the parent snapshot's files PLUS
     the newly written ones. mode='overwrite': covers only the new files —
     but nothing is deleted, so every older snapshot remains readable
     (time travel). The snapshot id is content-addressed (hash of the file
-    list), so identical data states get identical ids across retries."""
+    list), so identical data states get identical ids across retries.
+
+    ``stats_cols``: record per-file min/max for these columns in the
+    manifest (Iceberg's data-file column stats). Later reads with
+    ``prune=`` skip files whose range cannot match — file skipping, the
+    scan-side pruning a 100 TB table lives on. Parent files keep their
+    recorded stats across appends."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode '{mode}'")
     data_dir = os.path.join(table_dir, "data", uuid.uuid4().hex[:12])
@@ -73,12 +110,19 @@ def write_snapshot(df: DataFrame, table_dir: str, mode: str = "append") -> str:
     files = (parent["files"] if parent and mode == "append" else []) + new_files
     seq = (parent["seq"] + 1) if parent else 1
     snap_id = hashlib.md5("\n".join(files).encode()).hexdigest()[:16]
+    stats: dict = {}
+    if parent and mode == "append":
+        stats.update(parent.get("stats", {}))
+    if stats_cols and new_files:
+        spark = df.sparkSession
+        stats.update(_file_stats(spark.read.parquet(data_dir), new_files, stats_cols))
     manifest = {
         "snapshot_id": snap_id,
         "seq": seq,
         "files": files,
         "parent": parent["snapshot_id"] if parent else None,
         "mode": mode,
+        "stats": stats,
     }
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     path = os.path.join(_manifest_dir(table_dir), f"{seq:08d}-{snap_id}.json")
@@ -158,15 +202,47 @@ def validate_increment(
     return run_suite(spark, inc, snapshot_id=m["snapshot_id"], **run_suite_kwargs)
 
 
+def prune_files(
+    table_dir: str,
+    snapshot_id: str | None,
+    col: str,
+    lo=None,
+    hi=None,
+) -> tuple[list[str], int]:
+    """-> (files possibly containing rows with col in [lo, hi], total file
+    count): manifest-stats file skipping. A file is kept when its recorded
+    [min, max] range for ``col`` OVERLAPS the query range — or when it has
+    no recorded stats (skipping must never drop a matching row). Pure
+    manifest metadata; no Spark job."""
+    m = _manifest_for(table_dir, snapshot_id)
+    stats = m.get("stats", {})
+    kept = []
+    for f in m["files"]:
+        s = stats.get(f, {}).get(col)
+        if s is None or s[0] is None or s[1] is None:
+            kept.append(f)  # unknown range: cannot skip safely
+            continue
+        fmin, fmax = s
+        if (lo is None or fmax >= lo) and (hi is None or fmin <= hi):
+            kept.append(f)
+    return kept, len(m["files"])
+
+
 def read_snapshot(
     spark: SparkSession,
     table_dir: str,
     snapshot_id: str | None = None,
     schema: T.StructType | None = None,
+    prune: tuple | None = None,
 ) -> DataFrame:
     """Read the table as of a snapshot (latest when None) — the A5
     'reproducible re-load' shape: the SAME snapshot id always reads the SAME
-    rows, regardless of later appends."""
+    rows, regardless of later appends.
+
+    ``prune=(col, lo, hi)``: skip data files whose manifest min/max range
+    for ``col`` cannot intersect [lo, hi] (Iceberg file skipping). Pruning
+    only REMOVES whole files — the caller still applies the exact row
+    predicate; rows outside the range may survive in kept files."""
     ms = _manifests(table_dir)
     if not ms:
         raise FileNotFoundError(f"no snapshots in table '{table_dir}'")
@@ -179,6 +255,18 @@ def read_snapshot(
                 f"snapshot '{snapshot_id}' not found in table '{table_dir}'"
             )
         m = matches[-1]
+    if prune is not None:
+        col, lo, hi = prune
+        files, _total = prune_files(table_dir, m["snapshot_id"], col, lo, hi)
+        if not files:
+            if schema is None:
+                raise ValueError(
+                    "file pruning eliminated every data file; pass schema= "
+                    "to read the (empty) result"
+                )
+            return spark.createDataFrame([], schema)
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        return reader.parquet(*files)
     if not m["files"]:
         # a snapshot of an empty DataFrame (Spark may write zero part files)
         # is a legal state: reading it yields an empty frame, not the

@@ -41,3 +41,46 @@ def test_histogram_stays_tiny(docs, baseline):
     edges = baseline_edges(baseline, "n_spans")
     h = histogram(series, edges)
     assert h.count() <= fx.N_PARTS * fx.N_BINS
+
+
+def test_emd_matches_numpy_oracle(docs, baseline):
+    """Wasserstein-1 = sum |CDF_p - CDF_q| x bin width, vs an independent
+    numpy computation over the same fixed-bin histograms."""
+    import numpy as np
+
+    from sat_val_framework_spark.operators.drift import baseline_edges, histogram
+
+    edges = baseline_edges(baseline, "n_spans")
+    lo0, width, n_bins = edges
+    series = profile.n_spans_series(docs)
+    hist = histogram(series, edges).toPandas()
+    from pyspark.sql import functions as F
+
+    ref_rows = baseline.filter(F.col("col_name") == "n_spans").orderBy("bin_id").collect()
+    ref = np.zeros(n_bins)
+    for r in ref_rows:
+        ref[r["bin_id"]] = r["ref_frac"]
+    scores = drift_scores(series, baseline, "n_spans").toPandas().set_index("part_id")
+    for p, g in hist.groupby("part_id"):
+        counts = np.zeros(n_bins)
+        counts[g["bin_id"].to_numpy()] = g["obs_count"].to_numpy()
+        pdist = counts / counts.sum()
+        expected = float(np.abs(pdist.cumsum() - ref.cumsum()).sum() * width)
+        assert scores.loc[p, "emd"] == pytest.approx(expected, abs=1e-9)
+
+
+def test_emd_check_through_suite(spark, docs, baseline, catalog):
+    """drift_emd as a configured suite check: shares the sibling pass, own
+    threshold, and only the drifted partition fails at a sane threshold."""
+    from sat_val_framework_spark.runner import run_suite
+    from sat_val_framework_spark.suite import Check, CheckSuite
+
+    suite = CheckSuite([
+        Check("drift_ks", "n_spans", {"threshold": 0.15}),
+        Check("drift_emd", "n_spans", {"threshold": 1.0}),
+    ])
+    res = run_suite(spark, docs, suite, baseline=baseline)
+    v = res.verdicts.toPandas()
+    assert set(v.constraint_id) == {"drift_ks:n_spans", "drift_emd:n_spans"}
+    emd_failed = set(v[(v.constraint_id == "drift_emd:n_spans") & (v.status == "FAIL")].part_id)
+    assert emd_failed == {fx.DRIFT_PART}

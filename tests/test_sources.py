@@ -250,3 +250,46 @@ def test_incremental_snapshot_validation(spark, tmp_path):
     # lineage: every incremental verdict carries ITS snapshot id
     assert {r["snapshot_id"] for r in inc2.verdicts.collect()} == {s2}
     assert {r["snapshot_id"] for r in inc1.verdicts.collect()} == {s1}
+
+
+def test_snapshot_file_skipping_with_manifest_stats(spark, tmp_path):
+    """Per-file min/max recorded at write time -> range reads skip files
+    whose range cannot match (Iceberg-style file skipping): assert via
+    inputFiles that pruned reads touch strictly fewer files, rows stay
+    exactly correct, and files without stats are never skipped."""
+    from sat_val_framework_spark.sources.snapshots import (
+        prune_files,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    tbl = str(tmp_path / "stats_tbl")
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    # range-partition so files carry disjoint k ranges (the clustered-write
+    # regime file skipping exists for)
+    s1 = write_snapshot(df.repartitionByRange(8, "k"), tbl, stats_cols=["k"])
+    total_files = len(read_snapshot(spark, tbl, s1).inputFiles())
+    assert total_files == 8
+
+    kept, total = prune_files(tbl, s1, "k", lo=9000, hi=9999)
+    assert total == 8 and 1 <= len(kept) <= 2  # one tail file (+ boundary)
+
+    pruned = read_snapshot(spark, tbl, s1, prune=("k", 9000, 9999))
+    assert len(pruned.inputFiles()) == len(kept) < total_files
+    # exact rows after the caller's row-level predicate
+    assert pruned.filter("k >= 9000").count() == 1000
+    full = read_snapshot(spark, tbl, s1).filter("k >= 9000 and k <= 9999").count()
+    assert full == 1000
+
+    # append WITHOUT stats: new files must never be skipped
+    more = spark.range(20_000, 21_000).select(
+        F.col("id").alias("k"), F.lit(0).alias("v")
+    )
+    s2 = write_snapshot(more.coalesce(1), tbl, mode="append")  # no stats_cols
+    kept2, total2 = prune_files(tbl, s2, "k", lo=0, hi=10)
+    # stats-bearing files outside [0,10] skipped; the stats-less file kept
+    assert total2 == 9 and len(kept2) == 2
+    low = read_snapshot(spark, tbl, s2, prune=("k", 0, 10)).filter("k <= 10")
+    assert low.count() == 11
