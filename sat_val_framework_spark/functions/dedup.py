@@ -231,40 +231,58 @@ def lsh_candidate_pairs(
 
 
 def simhash_bits(
-    docs: DataFrame, n_bits: int = 64, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    n_bits: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """n-bit SimHash as a bit string: bit j votes +1 when bit j of the
-    token's md5 is set, weighted by token frequency; bit j of the signature
-    is 1 when votes win the majority.
+    token's hash is set, weighted by token frequency; bit j of the
+    signature is 1 when votes win the majority.
 
     16-bit is the compact profile signature (simhash16); 64-bit is what the
     near-dup pair-finder needs — its 16-bit LSH chunk keys give 2^16 bucket
     values, so bucket sizes stay sub-linear in corpus size (4-bit chunks of
-    a 16-bit signature would yield 16 buckets = a quadratic self-join)."""
-    if n_bits % 4 or n_bits > 128:
-        raise ValueError("n_bits must be a multiple of 4, at most 128 (md5 width)")
-    # explode -> md5 once per token -> ONE hash-agg with n_bits cheap sums
+    a 16-bit signature would yield 16 buckets = a quadratic self-join).
+
+    hash_fn='md5' (default) is bit-reproducible in ANSI SQL (the DuckDB
+    oracle twin); hash_fn='xxhash64' is the production path — a JVM
+    intrinsic on longs, per-bit tests become shift+AND with no hex string
+    anywhere (same precedent as minhash/fingerprint/CMS)."""
+    # explode -> hash once per token -> ONE hash-agg with n_bits cheap sums
     # (the minhash plan shape): partial aggregation ships only n_bits ints
     # per doc across the shuffle, and the expression tree stays small —
     # the equivalent 64-wide array fold compiled to multi-MB codegen
-    rows = docs.select(
+    toks = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("tok")
-    ).select("doc_id", F.md5("tok").alias("h"))
-    # one hex-digit decode per 4 bits, shared by the per-bit tests
-    digs = rows.select(
-        "doc_id",
-        *[
-            F.conv(F.substring("h", k + 1, 1), 16, 10).cast("int").alias(f"g{k}")
-            for k in range(n_bits // 4)
-        ],
     )
+    if hash_fn == "md5":
+        if n_bits % 4 or n_bits > 128:
+            raise ValueError("n_bits must be a multiple of 4, at most 128 (md5 width)")
+        rows = toks.select("doc_id", F.md5("tok").alias("h"))
+        # one hex-digit decode per 4 bits, shared by the per-bit tests
+        src = rows.select(
+            "doc_id",
+            *[
+                F.conv(F.substring("h", k + 1, 1), 16, 10).cast("int").alias(f"g{k}")
+                for k in range(n_bits // 4)
+            ],
+        )
+        bit = lambda j: F.when(  # noqa: E731
+            F.col(f"g{j // 4}").bitwiseAND(1 << (3 - j % 4)) > 0, 1
+        ).otherwise(0)
+    elif hash_fn == "xxhash64":
+        if n_bits > 64:
+            raise ValueError("xxhash64 provides at most 64 bits")
+        src = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+        bit = lambda j: F.shiftright(F.col("h"), 63 - j).bitwiseAND(F.lit(1))  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash_fn '{hash_fn}'")
     aggs = [F.count(F.lit(1)).alias("n_tok")] + [
-        F.sum(
-            F.when(F.col(f"g{j // 4}").bitwiseAND(1 << (3 - j % 4)) > 0, 1).otherwise(0)
-        ).alias(f"v{j}")
-        for j in range(n_bits)
+        F.sum(bit(j)).alias(f"v{j}") for j in range(n_bits)
     ]
-    votes = digs.groupBy("doc_id").agg(*aggs)
+    votes = src.groupBy("doc_id").agg(*aggs)
     sig = F.concat(
         *[
             F.when(F.col(f"v{j}") * 2 >= F.col("n_tok"), F.lit("1")).otherwise(F.lit("0"))
@@ -298,6 +316,7 @@ def simhash_near_dup(
     n_chunks: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """SimHash near-duplicate pairs: LSH candidates -> exact hamming verify.
 
@@ -318,7 +337,7 @@ def simhash_near_dup(
             f"pigeonhole recall needs max_hamming < n_chunks ({max_hamming} >= {n_chunks})"
         )
     w = n_bits // n_chunks
-    sigs = simhash_bits(docs, n_bits, text_col, id_col)
+    sigs = simhash_bits(docs, n_bits, text_col, id_col, hash_fn)
     chunked = sigs.select(
         "doc_id",
         "simhash",

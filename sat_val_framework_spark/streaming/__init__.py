@@ -1,5 +1,6 @@
 from sat_val_framework_spark.streaming.dedup_stream import streaming_dedup
 from sat_val_framework_spark.streaming.drift_stream import streaming_drift
+from sat_val_framework_spark.streaming.profile_stream import streaming_profile
 from sat_val_framework_spark.streaming.qc_stream import streaming_schema_assert, streaming_stats
 from sat_val_framework_spark.streaming.session_stream import streaming_sessionize
 
@@ -9,4 +10,5 @@ __all__ = [
     "streaming_dedup",
     "streaming_drift",
     "streaming_sessionize",
+    "streaming_profile",
 ]

@@ -184,3 +184,19 @@ def test_simhash_bits_tokenless_docs_get_null_sig(spark):
     # and token-less docs never appear in near-dup pairs
     pairs = dedup.simhash_near_dup(df, max_hamming=3).collect()
     assert not any(2 in (r["doc_a"], r["doc_b"]) or 3 in (r["doc_a"], r["doc_b"]) for r in pairs)
+
+
+def test_simhash_xxhash_fast_path_same_dup_structure(corpus):
+    """The xxhash64 path hashes differently but must preserve the SimHash
+    dup structure: exact dups agree exactly, near dups are close, and the
+    near-dup finder still recovers the exact-dup pair at distance 0."""
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash_bits(corpus, 64, hash_fn="xxhash64").collect()}
+    assert all(len(s) == 64 for s in sigs.values())
+    assert sigs[1] == sigs[2]  # exact dup: identical signature
+    ham13 = sum(a != b for a, b in zip(sigs[1], sigs[3]))
+    ham16 = sum(a != b for a, b in zip(sigs[1], sigs[6]))
+    assert ham13 < ham16  # near dup closer than unrelated text
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in dedup.simhash_near_dup(corpus, max_hamming=3, hash_fn="xxhash64").collect()}
+    assert got[(1, 2)] == 0

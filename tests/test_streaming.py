@@ -169,3 +169,33 @@ def test_streaming_sessionize_matches_batch_closed_sessions(spark, tmp_path):
         assert got == expected and len(expected) == 6 * 2  # 2 closed sessions/user
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_streaming_profile_matches_batch_and_catches_degeneracy(spark, stream_dir, tmp_path):
+    """Per-micro-batch profile constraint: healthy stream batches PASS; a
+    degenerate batch (column collapsed to a constant) FAILS within its own
+    epoch; verdict rows reuse the batch profile_check semantics."""
+    from sat_val_framework_spark.streaming.profile_stream import streaming_profile
+
+    sink = str(tmp_path / "profile_sink")
+    q = streaming_profile(spark, stream_dir, sink, column="n_spans")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.read.parquet(sink).collect()
+    assert rows and all(r["constraint_id"] == "profile:n_spans" for r in rows)
+    assert all(r["status"] == "PASS" for r in rows)  # healthy fixture
+    assert {"epoch_id"} <= set(spark.read.parquet(sink).columns)
+
+    # degenerate stream: every doc collapsed to ONE span
+    bad_dir = str(tmp_path / "bad_docs")
+    bad = fx.documents_df(spark, 500, n_parts=2).withColumn(
+        "spans", F.when(F.col("spans").isNotNull(), F.slice("spans", 1, 1))
+    )
+    bad.coalesce(1).write.parquet(bad_dir)
+    sink2 = str(tmp_path / "profile_sink2")
+    q2 = streaming_profile(spark, bad_dir, sink2, column="n_spans")
+    q2.processAllAvailable()
+    q2.stop()
+    rows2 = spark.read.parquet(sink2).collect()
+    assert rows2 and all(r["status"] == "FAIL" for r in rows2)
+    assert all(any(s.startswith("top_share=1.0>") for s in r["sample_violations"]) for r in rows2)
