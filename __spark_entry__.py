@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sat_val_framework_spark.functions import dedup, multimodal, similarity, text
+from sat_val_framework_spark.functions.bloom import bloom_anti_join
 from sat_val_framework_spark.operators.uniqueness import duplicate_keys
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -121,6 +122,22 @@ def q_ref_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
+    )
+
+
+def q_referential_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 bloom strategy (functions/bloom.py): the no-broadcast scale path.
+    Orphans of lineitem.l_partkey against a FILTERED part dim (p_size <= 25)
+    so real orphans exist; the bloom composition's answer is EXACTLY the
+    left-anti answer (definite map-side misses + verified residue), so the
+    oracle is plain NOT IN SQL. Aggregated per returnflag to keep the
+    result frame small and array-free."""
+    li = _t(spark, sf_dir, "lineitem")
+    dim = _t(spark, sf_dir, "part").where(F.col("p_size") <= 25).select("p_partkey")
+    orphans = bloom_anti_join(li, dim, "l_partkey", "p_partkey")
+    return orphans.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).alias("n_orphans"),
+        F.countDistinct("l_partkey").alias("n_orphan_keys"),
     )
 
 
@@ -728,6 +745,24 @@ def q_value_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distribution_entropy(e, "event_type", "bucket")
 
 
+def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact quantiles (percentile == ANSI percentile_cont ==
+    DuckDB quantile_cont); approx_percentile is the documented 10^12-row
+    path (operators/stats.py:quantile_profile)."""
+    from sat_val_framework_spark.operators.stats import quantile_profile
+
+    return quantile_profile(_t(spark, sf_dir, "lineitem"), "l_extendedprice", "l_returnflag")
+
+
+def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profile: parts supplied by more than one
+    supplier (l_partkey -/-> l_suppkey), via one partial-distinct hash-agg
+    (operators/uniqueness.py:fd_violations)."""
+    from sat_val_framework_spark.operators.uniqueness import fd_violations
+
+    return fd_violations(_t(spark, sf_dir, "lineitem"), "l_partkey", "l_suppkey")
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic OLAP shape: TPC-H Q1-style wide aggregation."""
     li = _t(spark, sf_dir, "lineitem")
@@ -772,7 +807,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_rates": q_null_rates,
         "uniqueness": q_uniqueness,
         "uniqueness_multi": q_uniqueness_multi,
+        "fd_violations": q_fd_violations,
+        "quantile_profile": q_quantile_profile,
         "referential_orphans": q_referential_orphans,
+        "referential_bloom": q_referential_bloom,
         "ref_coverage": q_ref_coverage,
         "span_canonicalize": q_span_canonicalize,
         "event_gating": q_event_gating,
@@ -994,6 +1032,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, count(*) AS dup_count
             FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
         """,
+        "fd_violations": """
+            SELECT l_partkey,
+                   count(DISTINCT l_suppkey) AS n_dependent,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_partkey
+            HAVING count(DISTINCT l_suppkey) > 1
+        """,
+        "quantile_profile": """
+            SELECT l_returnflag AS grp,
+                   count(l_extendedprice) AS n_values,
+                   round(quantile_cont(l_extendedprice, 0.25), 6) AS q25,
+                   round(quantile_cont(l_extendedprice, 0.50), 6) AS q50,
+                   round(quantile_cont(l_extendedprice, 0.75), 6) AS q75
+            FROM lineitem GROUP BY l_returnflag
+        """,
         "referential_orphans": """
             SELECT o_orderkey AS orphan_key, o_custkey AS fk_value
             FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
@@ -1002,6 +1055,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_brand AS grp, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand
+        """,
+        "referential_bloom": """
+            SELECT l_returnflag AS flag,
+                   count(*) AS n_orphans,
+                   count(DISTINCT l_partkey) AS n_orphan_keys
+            FROM lineitem
+            WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size <= 25)
+            GROUP BY l_returnflag
         """,
         "span_canonicalize": """
             SELECT l_orderkey AS doc_key,

@@ -61,6 +61,9 @@ HEADLINE = [
     "simhash_near_dup",
     "uniqueness_multi",
     "frequent_values",
+    "referential_bloom",
+    "quantile_profile",
+    "fd_violations",
 ]
 
 

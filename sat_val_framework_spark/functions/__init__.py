@@ -1,5 +1,6 @@
 from sat_val_framework_spark.functions import (
     asof,
+    bloom,
     dedup,
     multimodal,
     packing,
@@ -10,6 +11,7 @@ from sat_val_framework_spark.functions import (
 )
 
 __all__ = [
+    "bloom",
     "text",
     "dedup",
     "similarity",

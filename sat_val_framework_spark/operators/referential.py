@@ -6,12 +6,16 @@ referencing a partner that cannot be loaded invalidates the event. Engine
 form: explode media spans, LEFT ANTI join the dimension; survivors of the
 anti join ARE the orphans (violation rows).
 
-Two physical strategies for the same logical plan:
+Three physical strategies for the same logical plan:
 - ``strategy='broadcast'`` — catalog small enough to ship to every executor:
   no shuffle of the (huge) fact side at all.
 - ``strategy='merge'``     — catalog too big to broadcast: sort-merge join,
   AQE skew-join splits oversized partitions at runtime.
-Both must give identical verdicts (tested).
+- ``strategy='bloom'``     — catalog key SET too big to broadcast but its
+  bloom filter fits (~1.2 bytes/key at 1% FPP): definite orphans resolve
+  map-side with zero shuffle; only bloom survivors pay the exact anti-join
+  (functions/bloom.py).
+All must give identical verdicts (tested).
 """
 
 from __future__ import annotations
@@ -19,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sat_val_framework_spark.functions.bloom import bloom_anti_join
 from sat_val_framework_spark.verdicts import FAIL, PASS, bounded_samples
 
 
@@ -44,6 +49,8 @@ def orphan_refs(media_spans: DataFrame, catalog: DataFrame, strategy: str = "bro
         return media_spans.join(dim, "media_ref", "left_anti")
     if strategy == "merge":
         return media_spans.join(dim.hint("merge"), "media_ref", "left_anti")
+    if strategy == "bloom":
+        return bloom_anti_join(media_spans, dim, "media_ref", "media_ref")
     raise ValueError(f"unknown strategy '{strategy}'")
 
 

@@ -114,6 +114,36 @@ def cardinality_profile(
     )
 
 
+def quantile_profile(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    approx: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group quantiles of a numeric column — the distribution profile
+    backing median/IQR-style checks (B3 family, same contract as
+    ``perform_qc``'s per-granule summaries, implement.py:111-118).
+
+    approx=False uses ``percentile`` (exact linear interpolation — ANSI
+    percentile_cont semantics, bit-comparable to DuckDB's quantile_cont;
+    Spark sorts each group's values, so reserve it for oracle checks and
+    bounded-cardinality groups). approx=True switches to
+    ``percentile_approx`` — a mergeable one-pass sketch with O(accuracy)
+    memory per group and map-side partial aggregation: the only shape that
+    profiles a 10^12-row column without sorting it. One hash-agg either
+    way; all requested quantiles share the single sketch/sort per group."""
+    if approx:
+        qf = lambda p: F.percentile_approx(value_col, p, accuracy)  # noqa: E731
+    else:
+        qf = lambda p: F.percentile(value_col, p)  # noqa: E731
+    return df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(value_col).alias("n_values"),
+        *[F.round(qf(p), 6).alias(f"q{int(round(p * 100)):02d}") for p in probs],
+    )
+
+
 def frequent_values(df: DataFrame, col: str, k: int = 10) -> DataFrame:
     """Top-k most frequent values of a column (heavy-hitter profile):
     dominant-value detection is how a validation suite catches a column

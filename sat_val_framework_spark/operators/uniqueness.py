@@ -52,6 +52,32 @@ def duplicate_keys(df: DataFrame, key: str | list[str] = "doc_id") -> DataFrame:
     )
 
 
+def fd_violations(
+    df: DataFrame, determinant: str | list[str], dependent: str
+) -> DataFrame:
+    """Functional-dependency profile: determinant groups mapping to MORE
+    than one distinct dependent value (uniqueness generalized from "key
+    occurs once" to "key determines column" — the A3 invariant contract,
+    implement.py:106-107; e.g. doc_id -> source, (granule, version) ->
+    checksum).
+
+    One hash-agg: count_distinct plans as Spark's two-phase partial-distinct
+    aggregate (map-side dedup of (determinant, dependent) pairs), so a hot
+    determinant crosses the shuffle once per DISTINCT dependent value, not
+    once per row. NULL dependents are ignored by count_distinct — a NULL
+    can't contradict a dependency (SQL FD semantics); an all-NULL group has
+    n_dependent=0 and never flags."""
+    det = _key_list(determinant)
+    return (
+        df.groupBy(*det)
+        .agg(
+            F.count_distinct(F.col(dependent)).alias("n_dependent"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .filter(F.col("n_dependent") > 1)
+    )
+
+
 def uniqueness_check(
     df: DataFrame,
     key: str | list[str] = "doc_id",

@@ -1,6 +1,10 @@
-"""B5/B6: referential integrity — broadcast and sort-merge strategies must
-produce identical verdicts, matching the pandas oracle exactly."""
+"""B5/B6: referential integrity — broadcast, sort-merge, and bloom
+strategies must produce identical verdicts, matching the pandas oracle
+exactly."""
 
+from pyspark.sql import functions as F
+
+from sat_val_framework_spark.functions import bloom
 from sat_val_framework_spark.operators.referential import referential_check
 
 
@@ -39,3 +43,55 @@ def test_merge_plan_is_sort_merge(docs, catalog):
     _, orphans = referential_check(docs, catalog, strategy="merge")
     plan = orphans._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan
+
+
+def test_bloom_strategy_identical_verdicts(docs, catalog):
+    b, bo = referential_check(docs, catalog, strategy="broadcast")
+    l, lo = referential_check(docs, catalog, strategy="bloom")
+    assert _verdict_tuples(b) == _verdict_tuples(l)
+    assert sorted(r["media_ref"] for r in bo.collect()) == sorted(
+        r["media_ref"] for r in lo.collect()
+    )
+
+
+def test_bloom_no_false_negatives_and_fpp_bounded(spark):
+    """Every dim key must probe positive (no false negatives — the property
+    exactness rests on); absent keys must probe positive at roughly the
+    configured FPP."""
+    dim = spark.range(10_000).select(F.format_string("k-%06d", "id").alias("k"))
+    n_bits, n_hashes = bloom.bloom_params(10_000, fpp=0.01)
+    words = F.broadcast(bloom.bloom_build(dim, "k", n_bits, n_hashes))
+    mc = lambda df: df.join(words).select(  # noqa: E731
+        bloom.bloom_might_contain(F.col("k"), F.col("bloom_words"), n_bits, n_hashes).alias("m")
+    )
+    assert mc(dim).where(~F.col("m")).count() == 0
+    absent = spark.range(20_000).select(F.format_string("absent-%06d", "id").alias("k"))
+    fp = mc(absent).where(F.col("m")).count() / 20_000
+    assert fp < 0.03, fp
+
+
+def test_bloom_definite_orphans_skip_the_join(spark):
+    """The union's first branch (bloom-rejected rows) must be join-free:
+    count the anti-join operators in the whole plan — exactly ONE (the
+    residue branch), not one per branch."""
+    dim = spark.range(5_000).select(F.col("id").alias("k"))
+    fact = spark.range(50_000).select(F.col("id").alias("k"))
+    orphans = bloom.bloom_anti_join(fact, dim, "k", "k")
+    assert orphans.count() == 45_000
+    plan = orphans._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftAnti") == 1, plan
+
+
+def test_bloom_null_fact_keys_match_left_anti_semantics(spark):
+    """NULL fact keys never equi-join, so left-anti keeps them as orphans;
+    the bloom composition must agree (NULL probe -> coalesced to definite)."""
+    dim = spark.range(100).select(F.col("id").alias("k"))
+    fact = spark.range(50).select(
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") + 90).alias("k")
+    )
+    exact = sorted(
+        r["k"] for r in fact.join(dim, "k", "left_anti").collect() if r["k"] is not None
+    )
+    got = bloom.bloom_anti_join(fact, dim, "k", "k").collect()
+    assert sum(1 for r in got if r["k"] is None) == 5
+    assert sorted(r["k"] for r in got if r["k"] is not None) == exact

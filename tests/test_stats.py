@@ -129,3 +129,34 @@ def test_distribution_entropy_matches_numpy(spark):
     p = np.array([10, 30]) / 40.0
     assert abs(got["a"] - round(float(-(p * np.log(p)).sum()), 6)) < 1e-9
     assert got["b"] == 0.0  # single-valued group: zero entropy (degenerate)
+
+
+def test_quantile_profile_exact_matches_numpy(spark):
+    """Exact path == numpy linear-interpolation percentiles (the same
+    percentile_cont semantics DuckDB's quantile_cont implements)."""
+    import numpy as np
+
+    from sat_val_framework_spark.operators.stats import quantile_profile
+
+    vals = {"a": [1.0, 2.0, 3.0, 10.0, 100.0], "b": [5.0, 5.0, 7.0]}
+    rows = [(g, v) for g, vs in vals.items() for v in vs]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    got = {r["grp"]: r for r in quantile_profile(df, "x", "g").collect()}
+    for g, vs in vals.items():
+        for p, col in [(25, "q25"), (50, "q50"), (75, "q75")]:
+            assert abs(got[g][col] - round(float(np.percentile(vs, p)), 6)) < 1e-9, (g, col)
+        assert got[g]["n_values"] == len(vs)
+
+
+def test_quantile_profile_approx_close_and_null_handling(spark):
+    """The scale path (mergeable percentile_approx sketch) lands close to
+    exact; NULLs are excluded from both count and quantiles."""
+    from sat_val_framework_spark.operators.stats import quantile_profile
+
+    rows = [("a", float(i)) for i in range(1000)] + [("a", None)] * 10
+    df = spark.createDataFrame(rows, "g string, x double")
+    exact = quantile_profile(df, "x", "g").collect()[0]
+    approx = quantile_profile(df, "x", "g", approx=True).collect()[0]
+    assert exact["n_values"] == approx["n_values"] == 1000
+    for col in ("q25", "q50", "q75"):
+        assert abs(exact[col] - approx[col]) <= 2.0, col

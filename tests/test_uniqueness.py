@@ -111,3 +111,29 @@ def test_composite_key_suite_config_validates(spark, docs):
     bad = CheckSuite([Check("unique", "doc_id,nope")])
     errs = bad.validate(docs)
     assert len(errs) == 1 and "nope" in str(errs[0])
+
+
+def test_fd_violations_flags_only_broken_groups(spark):
+    """a -> b: groups with one distinct b (incl. repeated rows) pass; a
+    group with two distinct b values flags; NULL b never contradicts the
+    dependency (SQL FD semantics) and an all-NULL group never flags."""
+    from sat_val_framework_spark.operators.uniqueness import fd_violations
+
+    rows = [
+        ("k1", "v1"), ("k1", "v1"),          # consistent: no row
+        ("k2", "v1"), ("k2", "v2"),          # broken: 2 distinct
+        ("k3", "v9"), ("k3", None),          # NULL can't contradict: no row
+        ("k4", None), ("k4", None),          # all-NULL: no row
+    ]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = {r["a"]: (r["n_dependent"], r["n_rows"]) for r in fd_violations(df, "a", "b").collect()}
+    assert got == {"k2": (2, 2)}
+
+
+def test_fd_violations_composite_determinant(spark):
+    from sat_val_framework_spark.operators.uniqueness import fd_violations
+
+    rows = [("s1", 1, "x"), ("s1", 1, "y"), ("s1", 2, "x"), ("s2", 1, "x")]
+    df = spark.createDataFrame(rows, ["src", "k", "v"])
+    got = fd_violations(df, "src,k", "v").collect()
+    assert [(r["src"], r["k"], r["n_dependent"]) for r in got] == [("s1", 1, 2)]
