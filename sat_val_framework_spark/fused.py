@@ -14,7 +14,9 @@ to the modular runner (tested):
   ``groupBy(part_id)`` computes the text_len histogram AND the media_ref
   orphan counters in the same aggregation — the two span consumers share
   the explode instead of re-scanning.
-- **Pass C**: doc_id uniqueness (its own shuffle by key, unavoidable).
+- **Pass C**: doc_id uniqueness AND the fd:doc_id->part_id dependency from
+  ONE two-level aggregate (its own shuffle by key, unavoidable — but both
+  global constraints share it).
 
 KS/PSI still run through the vectorized applyInPandas kernel (north-star
 requirement) over the unpivoted histogram rows — Python sees n_parts x
@@ -147,6 +149,7 @@ FUSED_CONSTRAINT_IDS = [
     "drift_psi:text_len",
     "unique:doc_id",
     "profile:n_spans",
+    "fd:doc_id->part_id",
 ]
 
 # fused profile counters cover n_spans values 0..PROFILE_DOMAIN-1 exactly
@@ -455,40 +458,67 @@ def _run_fused_passes(
         wide_b, "h_tl_", nb_tl, ref_tl, "text_len", ks_threshold, psi_threshold
     )
 
-    # ---- Pass C: uniqueness (own shuffle key, cannot fuse) --------------
-    # two scans (salted dup agg + join-back for partition attribution);
-    # per-partition row counts reuse Pass A instead of a third scan.
-    # Scans docs_all even on resume: duplicates cross partition boundaries.
-    from sat_val_framework_spark.operators.uniqueness import duplicate_keys
-
-    # explicit broadcast: Catalyst plans SMJ here (agg output size unknown at
-    # plan time) and AQE can't convert it — the probe-side shuffle is already
-    # scheduled when the dup agg finishes. Measured 6.3s -> 3.8s at 12M docs.
-    dups = duplicate_keys(docs_all, "doc_id")
-    viol_rows = docs_all.join(F.broadcast(dups), "doc_id", "inner").select(
-        F.col(part_col).alias("part_id"), F.col("doc_id").alias("violation_key")
+    # ---- Pass C: uniqueness + fd:doc_id->part_id (own shuffle key) ------
+    # ONE single-shuffle aggregate serves BOTH global constraints: the FD
+    # "doc_id determines part_id" is violated iff min(part) != max(part) —
+    # two cheap extra agg columns on the existing dup agg. Rejected shapes
+    # (measured at 12M, local[32]): a two-level (doc_id, part)->doc_id agg
+    # shuffles ~n_docs rows TWICE (doc_id is nearly unique, partial agg
+    # reduces nothing; suite 628k -> 493k docs/sec); count_distinct(part)
+    # in one groupBy plans an Expand that doubles every map-side row.
+    # Scans docs_all even on resume: duplicates/FDs cross partition bounds.
+    per_doc = docs_all.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dup_count"),
+        F.min(part_col).alias("p_min"),
+        F.max(part_col).alias("p_max"),
     )
+    bad = per_doc.filter((F.col("dup_count") > 1) | (F.col("p_min") != F.col("p_max")))
+    # explicit broadcast: Catalyst plans SMJ here (agg output size unknown at
+    # plan time) and AQE can't convert it — the probe side's shuffle is
+    # already scheduled when the agg finishes. Measured 6.3s -> 3.8s at 12M.
+    # persist + EAGER count: the unique and fd branches both consume this
+    # join-back; lazily persisted, the union job races both branches into
+    # the probe scan before the cache lands and the 12M-row scan runs twice
+    # (measured -7.6% suite throughput). One eager count pays the scan once;
+    # both branches then read the violation-sized cache.
+    viol_rows = (
+        docs_all.join(F.broadcast(bad), "doc_id", "inner")
+        .select(
+            F.col(part_col).alias("part_id"),
+            F.col("doc_id").alias("violation_key"),
+            "dup_count",
+            (F.col("p_min") != F.col("p_max")).alias("fd_bad"),
+        )
+        .persist()
+    )
+    viol_rows.count()
     # bounded sampler (window top-10 + exact count), not collect-then-slice:
     # a viral duplicate otherwise collects every copy into one reducer array
     from sat_val_framework_spark.verdicts import bounded_samples
 
-    viol_agg = bounded_samples(viol_rows, "part_id", "violation_key")
-    unique_v = (
-        wide_a.select("part_id", "rows")
-        .join(viol_agg, "part_id", "left")
-        .select(
-            F.lit("unique:doc_id").alias("constraint_id"),
-            "part_id",
-            F.when(F.coalesce(F.col("violation_count"), F.lit(0)) > 0, F.lit(FAIL))
-            .otherwise(F.lit(PASS))
-            .alias("status"),
-            F.col("rows").alias("rows_scanned"),
-            F.coalesce(F.col("violation_count"), F.lit(0)).cast("long").alias("violation_count"),
-            F.coalesce(F.col("sample_violations"), F.array().cast("array<string>")).alias(
-                "sample_violations"
-            ),
+    def _pass_c_verdicts(cid: str, rows: DataFrame) -> DataFrame:
+        agg = bounded_samples(rows, "part_id", "violation_key")
+        return (
+            wide_a.select("part_id", "rows")
+            .join(agg, "part_id", "left")
+            .select(
+                F.lit(cid).alias("constraint_id"),
+                "part_id",
+                F.when(F.coalesce(F.col("violation_count"), F.lit(0)) > 0, F.lit(FAIL))
+                .otherwise(F.lit(PASS))
+                .alias("status"),
+                F.col("rows").alias("rows_scanned"),
+                F.coalesce(F.col("violation_count"), F.lit(0))
+                .cast("long")
+                .alias("violation_count"),
+                F.coalesce(F.col("sample_violations"), F.array().cast("array<string>")).alias(
+                    "sample_violations"
+                ),
+            )
         )
-    )
+
+    unique_v = _pass_c_verdicts("unique:doc_id", viol_rows.filter(F.col("dup_count") > 1))
+    fd_v = _pass_c_verdicts("fd:doc_id->part_id", viol_rows.filter(F.col("fd_bad")))
 
     # drift verdicts carry error_kind (EmptySeriesError); the agg-based
     # verdicts never error — allowMissingColumns fills theirs with NULL
@@ -498,5 +528,6 @@ def _run_fused_passes(
         .unionByName(ref_v, allowMissingColumns=True)
         .unionByName(drift_tl_v, allowMissingColumns=True)
         .unionByName(unique_v, allowMissingColumns=True)
+        .unionByName(fd_v, allowMissingColumns=True)
         .unionByName(profile_v, allowMissingColumns=True)
     )

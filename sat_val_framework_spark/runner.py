@@ -24,6 +24,7 @@ from sat_val_framework_spark.fixtures import DOCUMENTS_SCHEMA
 from sat_val_framework_spark.operators import (
     column_stats,
     drift_check,
+    fd_check,
     referential_check,
     schema_assert,
     span_seq_check,
@@ -52,6 +53,9 @@ DEFAULT_SUITE = CheckSuite(
         # distribution profile as a CONSTRAINT: catches a column collapsing
         # to a constant (top-share) or degenerating (entropy floor)
         Check("profile", "n_spans", {"max_top_share": 0.9, "min_entropy": 0.5}),
+        # functional dependency: a doc_id must live in exactly one partition
+        # (the A3 invariant shape); the seeded dup doc_ids violate it
+        Check("fd", "doc_id->part_id"),
     ]
 )
 
@@ -199,6 +203,21 @@ def run_suite(
                 skipped.append(c.constraint_id)
                 return
             out, viol = uniqueness_check(docs, c.column, part_col)
+            if violations_path:
+                ckpt.append_violations(
+                    viol, violations_path, run_id, c.constraint_id, key_col="violation_key"
+                )
+            scoped, _ = pending_filter(c.constraint_id, out.withColumnRenamed("part_id", part_col))
+            emit(scoped.withColumnRenamed(part_col, "part_id"), c.params_json, t0)
+        elif c.kind == "fd":
+            # same global-check shape as 'unique': violating determinant
+            # groups span partitions, so a resumed run still scans all rows
+            # — but a fully-completed resume pays nothing
+            ids = pending_ids([c.constraint_id])
+            if ids is not None and not ids:
+                skipped.append(c.constraint_id)
+                return
+            out, viol = fd_check(docs, c.column, part_col)
             if violations_path:
                 ckpt.append_violations(
                     viol, violations_path, run_id, c.constraint_id, key_col="violation_key"

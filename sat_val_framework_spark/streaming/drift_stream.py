@@ -26,11 +26,16 @@ def streaming_drift(
     column: str = "n_spans",
     ks_threshold: float = 0.15,
     psi_threshold: float = 0.2,
+    emd_threshold: float = 1.0,
+    stats: tuple[str, ...] = ("ks", "psi"),
     max_files: int = 4,
 ) -> StreamingQuery:
     """Score each micro-batch's documents against the baseline; verdict rows
     (+ epoch_id) append to ``sink_path``. Per-batch semantics: a batch that
-    drifts fails for that batch — lineage keeps the history."""
+    drifts fails for that batch — lineage keeps the history. ``stats``
+    selects which of the kernel's siblings (ks/psi/emd) emit verdicts,
+    exactly as in the batch ``drift_check`` — all come from the same
+    single-pass histogram either way."""
     stream = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files)
@@ -47,6 +52,8 @@ def streaming_drift(
             column,
             ks_threshold=ks_threshold,
             psi_threshold=psi_threshold,
+            emd_threshold=emd_threshold,
+            stats=stats,
         )
         verdicts.withColumn("epoch_id", F.lit(epoch_id)).write.mode("append").parquet(sink_path)
 

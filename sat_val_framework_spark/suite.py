@@ -28,6 +28,8 @@ KINDS = frozenset(
         "subset",         # A14: parameterized predicate subsetter
         "profile",        # distribution profile as a constraint (top-share /
                           # entropy / distinct-ratio thresholds)
+        "fd",             # functional dependency 'determinant->dependent'
+                          # (uniqueness generalized: A3 invariants)
     }
 )
 
@@ -120,6 +122,21 @@ class CheckSuite:
                         errors.append(
                             SuiteConfigError(f"{c.constraint_id}: column '{col}' not in schema")
                         )
+            if c.kind == "fd":
+                from sat_val_framework_spark.operators.uniqueness import parse_fd_spec
+
+                try:
+                    dets, dep = parse_fd_spec(c.column or "")
+                except ValueError as e:
+                    errors.append(SuiteConfigError(f"{c.constraint_id}: {e}"))
+                else:
+                    for col in [*dets, dep]:
+                        if col not in derived and _field_type(schema, col) is None:
+                            errors.append(
+                                SuiteConfigError(
+                                    f"{c.constraint_id}: column '{col}' not in schema"
+                                )
+                            )
             if c.kind == "ref":
                 if not c.params.get("dim_table_alias"):
                     errors.append(SuiteConfigError(f"{c.constraint_id}: params.dim_table_alias required"))

@@ -131,7 +131,7 @@ def test_diff_runs_and_summary(spark, docs, catalog, baseline, tmp_path):
     summary = {r["run_id"]: r for r in ckpt.run_summary(cp).collect()}
     assert summary["ra"]["n_fail"] > summary["rb"]["n_fail"]
     assert 0.0 < summary["ra"]["pass_rate"] < 1.0
-    assert summary["ra"]["n_constraints"] == 9  # DEFAULT_SUITE incl. profile:n_spans
+    assert summary["ra"]["n_constraints"] == 10  # DEFAULT_SUITE incl. profile + fd
 
 
 def test_discover_worklist_persists_and_reloads(spark, docs, oracle, tmp_path):

@@ -72,6 +72,25 @@ def test_streaming_drift_scores_batches(spark, stream_dir, tmp_path, baseline):
     drifted = got[(got.part_id == fx.DRIFT_PART) & (got.constraint_id == "drift_psi:n_spans")]
     assert (drifted.status == "FAIL").any()
     assert set(got.status) <= {"PASS", "FAIL"}
+    # stats selection: only the requested siblings emit (no made-up EMD rows)
+    assert set(got.constraint_id) == {"drift_ks:n_spans", "drift_psi:n_spans"}
+
+
+def test_streaming_drift_emd_stat_passthrough(spark, stream_dir, tmp_path, baseline):
+    """The EMD sibling flows through the streaming wrapper: same kernel,
+    same per-epoch semantics, and the drifted partition (+4 spans shift =
+    EMD ~4 bins) fails the 1.0-bin threshold in at least one batch."""
+    import sat_val_framework_spark.fixtures as fx
+    from sat_val_framework_spark.streaming import streaming_drift
+
+    sink = str(tmp_path / "emd_sink")
+    q = streaming_drift(spark, stream_dir, baseline, sink, column="n_spans", stats=("emd",))
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(sink).toPandas()
+    assert set(got.constraint_id) == {"drift_emd:n_spans"}
+    drifted = got[got.part_id == fx.DRIFT_PART]
+    assert (drifted.status == "FAIL").any()
 
 
 def test_streaming_foreach_batch_checkpoints(spark, stream_dir, tmp_path):

@@ -137,3 +137,17 @@ def test_fd_violations_composite_determinant(spark):
     df = spark.createDataFrame(rows, ["src", "k", "v"])
     got = fd_violations(df, "src,k", "v").collect()
     assert [(r["src"], r["k"], r["n_dependent"]) for r in got] == [("s1", 1, 2)]
+
+
+def test_fd_check_suite_fixture_fail_parts(spark, docs):
+    """fd:doc_id->part_id on the seeded fixture: the duplicated doc_ids land
+    in two partitions each, so exactly parts 6/7/14/15 FAIL (the same parts
+    uniqueness flags — the dup IS the dependency break here)."""
+    from sat_val_framework_spark.operators.uniqueness import fd_check
+
+    verdicts, viol = fd_check(docs, "doc_id->part_id")
+    v = {r["part_id"]: r for r in verdicts.collect()}
+    assert {p for p, r in v.items() if r["status"] == "FAIL"} == {6, 7, 14, 15}
+    assert all(r["constraint_id"] == "fd:doc_id->part_id" for r in v.values())
+    assert v[6]["violation_count"] == 2 and v[0]["violation_count"] == 0
+    assert viol.count() == 8  # 4 dup pairs x 2 rows
