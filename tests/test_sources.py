@@ -293,3 +293,31 @@ def test_snapshot_file_skipping_with_manifest_stats(spark, tmp_path):
     assert total2 == 9 and len(kept2) == 2
     low = read_snapshot(spark, tbl, s2, prune=("k", 0, 10)).filter("k <= 10")
     assert low.count() == 11
+
+
+def test_snapshot_cluster_by_makes_pruning_effective(spark, tmp_path):
+    """cluster_by range-clusters files at write time so manifest pruning
+    actually skips: the same data written unclustered keeps EVERY file
+    under a narrow range read (each file spans the whole domain), while the
+    clustered write touches O(selectivity) files. Rows stay exact."""
+    from sat_val_framework_spark.sources.snapshots import prune_files, read_snapshot, write_snapshot
+
+    # round-robin layout: every file spans ~the whole key domain
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    ).repartition(8)
+
+    flat = str(tmp_path / "flat_tbl")
+    s_flat = write_snapshot(df, flat, stats_cols=["k"])
+    kept_flat, total_flat = prune_files(flat, s_flat, "k", lo=4000, hi=4999)
+    assert total_flat == 8 and len(kept_flat) == 8  # pruning is useless here
+
+    clus = str(tmp_path / "clustered_tbl")
+    s_clus = write_snapshot(df, clus, cluster_by=["k"], n_files=8)
+    kept_clus, total_clus = prune_files(clus, s_clus, "k", lo=4000, hi=4999)
+    assert total_clus == 8 and 1 <= len(kept_clus) <= 2  # stats recorded automatically
+
+    got = read_snapshot(spark, clus, s_clus, prune=("k", 4000, 4999)).filter(
+        "k between 4000 and 4999"
+    )
+    assert got.count() == 1000
