@@ -299,6 +299,23 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-exact dedup: case/punct/whitespace-insensitive digest
+    groups (functions/dedup.py:normalized_duplicates) — reformatted copies
+    at exact-dedup cost."""
+    return dedup.normalized_duplicates(_t_wide(spark, sf_dir, "documents")).select(
+        "digest", "n_docs", F.array_join(F.col("doc_ids"), ",").alias("doc_ids")
+    )
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary profile: top-20 tokens by occurrences + doc frequency
+    (functions/text.py:vocab_topk, TakeOrderedAndProject shape)."""
+    from sat_val_framework_spark.functions.text import vocab_topk
+
+    return vocab_topk(_t_wide(spark, sf_dir, "documents"), k=20)
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH -> exact-Jaccard verify: MinHash banding proposes candidate
     pairs (equi-join on band buckets), exact n-gram Jaccard verifies each.
@@ -820,6 +837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verdict_union": q_verdict_union,
         "checkpoint_pending": q_checkpoint_pending,
         "dedup_exact": q_dedup_exact,
+        "dedup_normalized": q_dedup_normalized,
+        "vocab_topk": q_vocab_topk,
         "dedup_jaccard": q_dedup_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -1134,6 +1153,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS digest, count(*) AS n_docs,
                    array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
             FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "dedup_normalized": """
+            SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS digest,
+                   count(*) AS n_docs,
+                   array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "vocab_topk": """
+            SELECT token,
+                   count(*) AS n_occurrences,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM (
+                SELECT doc_id, unnest(list_filter(
+                    string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS token
+                FROM documents WHERE text IS NOT NULL
+            )
+            GROUP BY token
+            ORDER BY n_occurrences DESC, token ASC
+            LIMIT 20
         """,
         # LSH -> verify: exact Jaccard evaluated only on the LSH candidates
         "dedup_jaccard": f"""

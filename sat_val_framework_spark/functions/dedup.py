@@ -476,3 +476,27 @@ def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         ]
     )
     return docs.select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))
+
+
+def normalized_duplicates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Normalized-exact dedup: digest groups after ``normalize_text``
+    (case/punctuation/whitespace-insensitive) — the cheap middle ground
+    between exact_duplicates and MinHash that catches reformatted copies
+    (the most common near-dup class in scraped corpora) at exact-dedup
+    cost: one digest groupBy, map-side partial agg, only digests cross
+    the shuffle."""
+    from sat_val_framework_spark.functions.text import normalize_text
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), F.md5(normalize_text(F.col(text_col))).alias("digest")
+    )
+    return (
+        d.groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -131,3 +131,38 @@ def fingerprint(
     return docs.select(
         F.col(id_col).alias("doc_id"), mins.cast("string").alias("fingerprint")
     )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text form for normalized dedup: lowercase, strip everything
+    but [a-z0-9 ] (ASCII-conservative on purpose — identical semantics in
+    Java regex and ANSI SQL engines), collapse whitespace runs, trim.
+    NULL stays NULL."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)
+
+
+def vocab_topk(
+    docs: DataFrame, k: int = 20, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary profile: top-k tokens by total occurrences, with
+    document frequency — the sanity check a training corpus gets before
+    tokenizer/vocab decisions (and a drift signal: the head of the token
+    distribution is stable for a healthy source).
+
+    Scale shape: explode -> ONE hash-agg per token (partial aggregation
+    combines within each split, so only distinct tokens cross the shuffle;
+    doc frequency rides the same agg as count_distinct with its standard
+    two-phase plan) -> orderBy().limit(k) = TakeOrderedAndProject (per-task
+    k-row heap, O(k) memory — NEVER a global window; the frequent_values
+    lesson). Ties break on the token ascending for determinism."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    return counts.orderBy(F.col("n_occurrences").desc(), F.col("token")).limit(k)

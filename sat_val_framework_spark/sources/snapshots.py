@@ -138,6 +138,9 @@ def write_snapshot(
         "parent": parent["snapshot_id"] if parent else None,
         "mode": mode,
         "stats": stats,
+        # writer-schema capture (Iceberg's schema tracking): enables
+        # schema_diff between any two snapshots without touching data files
+        "schema": {f.name: [f.dataType.simpleString(), f.nullable] for f in df.schema.fields},
     }
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     path = os.path.join(_manifest_dir(table_dir), f"{seq:08d}-{snap_id}.json")
@@ -294,3 +297,44 @@ def read_snapshot(
         return spark.createDataFrame([], schema)
     reader = spark.read.schema(schema) if schema is not None else spark.read
     return reader.parquet(*m["files"])
+
+
+def schema_diff(
+    table_dir: str,
+    from_id: str | None = None,
+    to_id: str | None = None,
+) -> dict:
+    """Schema evolution between two snapshots (defaults: the latest
+    snapshot's PARENT vs the latest — "what did the last write change?").
+
+    -> {'added': {col: type}, 'removed': {col: type},
+        'type_changed': {col: [old, new]}, 'nullability_changed': [col]}
+    from recorded writer schemas — pure manifest metadata, no Spark job,
+    no data-file reads (the A19/A20 lineage contract applied to schemas:
+    a nightly job diffs before validating, so a column that silently
+    changed type fails loudly instead of poisoning downstream casts).
+    Snapshots from before schema capture raise a clear error."""
+    to_m = _manifest_for(table_dir, to_id)
+    if from_id is None:
+        if to_m["parent"] is None:
+            raise ValueError("latest snapshot has no parent; pass from_id explicitly")
+        from_m = _manifest_for(table_dir, to_m["parent"])
+    else:
+        from_m = _manifest_for(table_dir, from_id)
+    for m in (from_m, to_m):
+        if "schema" not in m:
+            raise ValueError(
+                f"snapshot '{m['snapshot_id']}' predates schema capture; "
+                "re-write it to record a schema"
+            )
+    a, b = from_m["schema"], to_m["schema"]
+    return {
+        "from": from_m["snapshot_id"],
+        "to": to_m["snapshot_id"],
+        "added": {c: b[c][0] for c in b if c not in a},
+        "removed": {c: a[c][0] for c in a if c not in b},
+        "type_changed": {c: [a[c][0], b[c][0]] for c in a if c in b and a[c][0] != b[c][0]},
+        "nullability_changed": sorted(
+            c for c in a if c in b and a[c][0] == b[c][0] and a[c][1] != b[c][1]
+        ),
+    }

@@ -172,3 +172,37 @@ class CheckSuite:
         errs = self.validate(df, part_col)
         if errs:
             raise SuiteConfigError("; ".join(str(e) for e in errs))
+
+    def to_json(self) -> str:
+        """Suite as data: a JSON array of {kind, column, params} — the form
+        a config repo or an orchestrator templates (the reference's
+        JointParameters are likewise plain paired values, implement.py:
+        147-162). Round-trips through from_json losslessly (tested)."""
+        return json.dumps(
+            [{"kind": c.kind, "column": c.column, "params": c.params} for c in self.checks],
+            indent=2,
+            sort_keys=True,
+        )
+
+    @staticmethod
+    def from_json(s: str) -> CheckSuite:
+        """Parse a suite from its JSON form. Malformed JSON or non-object
+        entries raise SuiteConfigError immediately (config parse is eager,
+        driver-side); schema-level problems — unknown kinds, missing
+        columns, bad thresholds — surface later through ``validate`` so one
+        call reports ALL of them as values, not just the first."""
+        try:
+            raw = json.loads(s)
+        except json.JSONDecodeError as e:
+            raise SuiteConfigError(f"suite config is not valid JSON: {e}") from e
+        if not isinstance(raw, list):
+            raise SuiteConfigError("suite config must be a JSON array of checks")
+        checks = []
+        for i, item in enumerate(raw):
+            if not isinstance(item, dict) or "kind" not in item:
+                raise SuiteConfigError(f"check #{i} must be an object with a 'kind'")
+            params = item.get("params", {})
+            if not isinstance(params, dict):
+                raise SuiteConfigError(f"check #{i}: params must be an object")
+            checks.append(Check(str(item["kind"]), item.get("column"), params))
+        return CheckSuite(checks)

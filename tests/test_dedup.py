@@ -200,3 +200,21 @@ def test_simhash_xxhash_fast_path_same_dup_structure(corpus):
     got = {(r["doc_a"], r["doc_b"]): r["hamming"]
            for r in dedup.simhash_near_dup(corpus, max_hamming=3, hash_fn="xxhash64").collect()}
     assert got[(1, 2)] == 0
+
+
+def test_normalized_duplicates_catch_reformatted_copies(spark):
+    """Case/punctuation/whitespace variants collapse to one digest group;
+    genuinely different texts (and NULLs as their own group) do not."""
+    rows = [
+        (1, "The quick brown fox!"),
+        (2, "the  quick   BROWN fox"),     # reformatted copy of 1
+        (3, "the quick, brown... FOX"),    # another variant of 1
+        (4, "a different document"),
+        (5, None),
+        (6, None),                          # NULL group: counted, harmless
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {tuple(r["doc_ids"]): r["n_docs"] for r in dedup.normalized_duplicates(df).collect()}
+    assert got == {(1, 2, 3): 3, (5, 6): 2}
+    # exact dedup sees none of the reformatted copies
+    assert dedup.exact_duplicates(df.where("text is not null")).count() == 0

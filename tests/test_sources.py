@@ -321,3 +321,29 @@ def test_snapshot_cluster_by_makes_pruning_effective(spark, tmp_path):
         "k between 4000 and 4999"
     )
     assert got.count() == 1000
+
+
+def test_snapshot_schema_capture_and_diff(spark, tmp_path):
+    """Writer schemas are recorded per snapshot; schema_diff reports
+    added/removed/type-changed columns from manifests alone (no data read).
+    Defaults compare the latest write against its parent."""
+    from sat_val_framework_spark.sources.snapshots import schema_diff, write_snapshot
+
+    tbl = str(tmp_path / "evo_tbl")
+    v1 = spark.range(10).select(F.col("id").alias("k"), F.lit("x").alias("s"))
+    s1 = write_snapshot(v1, tbl)
+    # evolution: s -> int (type change), drop nothing, add v
+    v2 = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(1).alias("s"), F.lit(0.5).alias("v")
+    )
+    s2 = write_snapshot(v2, tbl, mode="append")
+    d = schema_diff(tbl)  # parent-vs-latest default
+    assert (d["from"], d["to"]) == (s1, s2)
+    assert d["added"] == {"v": "double"}
+    assert d["removed"] == {}
+    assert d["type_changed"] == {"s": ["string", "int"]}
+
+    v3 = spark.range(10).select(F.col("id").alias("k"))
+    s3 = write_snapshot(v3, tbl, mode="overwrite")
+    d2 = schema_diff(tbl, from_id=s1, to_id=s3)
+    assert d2["removed"] == {"s": "string"} and d2["added"] == {} and d2["type_changed"] == {}

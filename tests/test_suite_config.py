@@ -45,3 +45,25 @@ def test_missing_part_col_flagged(docs):
 def test_validate_or_raise_raises(docs):
     with pytest.raises(SuiteConfigError):
         CheckSuite([Check("nope")]).validate_or_raise(docs)
+
+
+def test_suite_json_roundtrip_and_errors(spark, docs):
+    import pytest
+
+    from sat_val_framework_spark.runner import DEFAULT_SUITE
+    from sat_val_framework_spark.suite import CheckSuite, SuiteConfigError
+
+    back = CheckSuite.from_json(DEFAULT_SUITE.to_json())
+    assert back == DEFAULT_SUITE          # dataclass equality: lossless
+    assert back.validate(docs) == []
+
+    with pytest.raises(SuiteConfigError):
+        CheckSuite.from_json("{not json")
+    with pytest.raises(SuiteConfigError):
+        CheckSuite.from_json('{"kind": "stats"}')  # object, not array
+    with pytest.raises(SuiteConfigError):
+        CheckSuite.from_json('[{"column": "x"}]')  # missing kind
+    # unknown kinds parse fine and surface through validate (all errors, as values)
+    s = CheckSuite.from_json('[{"kind": "nope"}, {"kind": "stats", "column": "missing_col"}]')
+    errs = s.validate(docs)
+    assert len(errs) == 2

@@ -112,3 +112,27 @@ def test_token_count_bpe_null_safe_and_sane(spark):
     # Hello |,| world |!| It |'s| 42 | degrees |.  -> punctuation and the
     # number count separately, contraction splits off
     assert got[1] == 9
+
+
+def test_vocab_topk_counts_and_ties(spark):
+    from sat_val_framework_spark.functions.text import vocab_topk
+
+    rows = [
+        (1, "alpha beta beta gamma"),
+        (2, "beta gamma  gamma"),
+        (3, None),
+        (4, "alpha"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [(r["token"], r["n_occurrences"], r["n_docs"]) for r in vocab_topk(df, k=3).collect()]
+    # beta and gamma tie at 3 occurrences -> token-ascending break
+    assert got == [("beta", 3, 2), ("gamma", 3, 2), ("alpha", 2, 2)]
+
+
+def test_vocab_topk_plan_is_take_ordered_no_window(spark):
+    from sat_val_framework_spark.functions.text import vocab_topk
+
+    df = spark.createDataFrame([(i, f"tok{i} tok{i%7}") for i in range(50)], ["doc_id", "text"])
+    plan = vocab_topk(df, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
