@@ -11,11 +11,14 @@ deleted; a snapshot is a JSON manifest naming the parquet files it covers,
 so reading snapshot N is just ``spark.read.parquet(*files_of(N))`` and old
 snapshots stay readable after any number of appends/overwrites.
 
-This is NOT Iceberg (no hidden partitioning, no schema evolution, no
-compaction) — it is the minimal honest realization of the contracts the
-reference pins down: durable discovery output that later runs reload and
-re-parameterize (usable.py:51-62) and lineage that records exactly which
-data produced each verdict (implement.py:81-86).
+This is NOT Iceberg (no hidden partitioning, no row-level deletes) — it is
+the minimal honest realization of the contracts the reference pins down:
+durable discovery output that later runs reload and re-parameterize
+(usable.py:51-62) and lineage that records exactly which data produced
+each verdict (implement.py:81-86) — plus the table-maintenance surface a
+lake needs around them: writer-schema tracking + diff, range-clustered
+writes with per-file stats and file skipping, small-file compaction, and
+write-audit-publish gated on this engine's own verdicts.
 """
 
 from __future__ import annotations
@@ -27,6 +30,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -63,8 +67,6 @@ def _file_stats(df_written, files: list[str], stats_cols: list[str]) -> dict:
     """Per-file min/max for the listed columns — the manifest-level column
     statistics Iceberg keeps per data file, computed with ONE hash-agg over
     the just-written files (grouped on input_file_name)."""
-    from pyspark.sql import functions as F
-
     aggs = []
     for c in stats_cols:
         aggs += [F.min(c).alias(f"min__{c}"), F.max(c).alias(f"max__{c}")]
@@ -111,15 +113,38 @@ def write_snapshot(
     files (Iceberg's write-ordering story, 1-D). One extra shuffle paid once
     at write time, amortized over every pruned read; stats for the cluster
     columns are recorded automatically."""
-    if mode not in ("append", "overwrite"):
-        raise ValueError(f"unknown mode '{mode}'")
+    new_files = _stage_data(df, table_dir, cluster_by, n_files)
+    if cluster_by:
+        stats_cols = list(dict.fromkeys([*(stats_cols or []), *cluster_by]))
+    return _publish(df.sparkSession, df.schema, table_dir, new_files, mode, stats_cols)
+
+
+def _stage_data(
+    df: DataFrame,
+    table_dir: str,
+    cluster_by: list[str] | None = None,
+    n_files: int | None = None,
+) -> list[str]:
+    """Write data files WITHOUT a manifest — staged, invisible to every
+    reader until ``_publish`` drops the manifest (Iceberg's WAP staging)."""
     if cluster_by:
         n = n_files or df.sparkSession.sparkContext.defaultParallelism
         df = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(*cluster_by)
-        stats_cols = list(dict.fromkeys([*(stats_cols or []), *cluster_by]))
     data_dir = os.path.join(table_dir, "data", uuid.uuid4().hex[:12])
     df.write.mode("error").parquet(data_dir)
-    new_files = sorted(glob.glob(os.path.join(data_dir, "part-*.parquet")))
+    return sorted(glob.glob(os.path.join(data_dir, "part-*.parquet")))
+
+
+def _publish(
+    spark: SparkSession,
+    schema: T.StructType,
+    table_dir: str,
+    new_files: list[str],
+    mode: str,
+    stats_cols: list[str] | None,
+) -> str:
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown mode '{mode}'")
     prior = _manifests(table_dir)
     parent = prior[-1] if prior else None
     files = (parent["files"] if parent and mode == "append" else []) + new_files
@@ -129,8 +154,7 @@ def write_snapshot(
     if parent and mode == "append":
         stats.update(parent.get("stats", {}))
     if stats_cols and new_files:
-        spark = df.sparkSession
-        stats.update(_file_stats(spark.read.parquet(data_dir), new_files, stats_cols))
+        stats.update(_file_stats(spark.read.parquet(*new_files), new_files, stats_cols))
     manifest = {
         "snapshot_id": snap_id,
         "seq": seq,
@@ -140,7 +164,7 @@ def write_snapshot(
         "stats": stats,
         # writer-schema capture (Iceberg's schema tracking): enables
         # schema_diff between any two snapshots without touching data files
-        "schema": {f.name: [f.dataType.simpleString(), f.nullable] for f in df.schema.fields},
+        "schema": {f.name: [f.dataType.simpleString(), f.nullable] for f in schema.fields},
     }
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     path = os.path.join(_manifest_dir(table_dir), f"{seq:08d}-{snap_id}.json")
@@ -338,3 +362,63 @@ def schema_diff(
             c for c in a if c in b and a[c][0] == b[c][0] and a[c][1] != b[c][1]
         ),
     }
+
+
+def write_audit_publish(
+    df: DataFrame,
+    table_dir: str,
+    audit_fn,
+    mode: str = "append",
+    stats_cols: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    n_files: int | None = None,
+) -> tuple[str | None, DataFrame]:
+    """Write-Audit-Publish (the Iceberg WAP pattern, driven by this
+    engine's own verdicts): stage the data files WITHOUT a manifest, run
+    ``audit_fn(staged_df) -> verdicts`` against exactly the bytes that
+    would be published, and only drop the manifest if no verdict row is
+    FAIL or ERROR.
+
+    -> (snapshot_id, verdicts) — snapshot_id is None when the audit
+    rejected the write; every reader then still sees the previous snapshot
+    (the staged files are unreferenced, Iceberg-orphan style; a janitor can
+    delete data dirs no manifest names). This closes the loop the engine
+    exists for: bad data never becomes visible, and the verdicts ARE the
+    audit trail either way."""
+    spark = df.sparkSession
+    new_files = _stage_data(df, table_dir, cluster_by, n_files)
+    staged = spark.read.parquet(*new_files)  # audit the written bytes, not the plan
+    verdicts = audit_fn(staged)
+    bad = verdicts.where(F.col("status").isin("FAIL", "ERROR")).limit(1).count()
+    if bad:
+        return None, verdicts
+    if cluster_by:
+        stats_cols = list(dict.fromkeys([*(stats_cols or []), *cluster_by]))
+    return _publish(spark, staged.schema, table_dir, new_files, mode, stats_cols), verdicts
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    target_files: int,
+    stats_cols: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+) -> str:
+    """Rewrite the latest snapshot's data into ``target_files`` files as a
+    new overwrite snapshot — lakehouse small-file compaction. Appends at
+    100 TB accrete thousands of small files whose per-file/per-task
+    overhead dominates scans; compaction pays one rewrite to restore scan
+    efficiency. Time travel is preserved: nothing is deleted, every prior
+    snapshot (and its small files) stays readable; ``cluster_by`` re-sorts
+    during the rewrite so compaction and range-clustering share the single
+    shuffle."""
+    current = read_snapshot(spark, table_dir)
+    df = current if cluster_by else current.repartition(target_files)
+    return write_snapshot(
+        df,
+        table_dir,
+        mode="overwrite",
+        stats_cols=stats_cols,
+        cluster_by=cluster_by,
+        n_files=target_files if cluster_by else None,
+    )

@@ -347,3 +347,76 @@ def test_snapshot_schema_capture_and_diff(spark, tmp_path):
     s3 = write_snapshot(v3, tbl, mode="overwrite")
     d2 = schema_diff(tbl, from_id=s1, to_id=s3)
     assert d2["removed"] == {"s": "string"} and d2["added"] == {} and d2["type_changed"] == {}
+
+
+def test_write_audit_publish_gates_on_verdicts(spark, tmp_path):
+    """WAP: a failing audit leaves the table EXACTLY as it was (no new
+    snapshot, old reads unchanged); a passing audit publishes normally.
+    The audit runs against the staged bytes and its verdicts come back
+    either way."""
+    from sat_val_framework_spark.sources.snapshots import (
+        read_snapshot,
+        snapshots,
+        write_audit_publish,
+        write_snapshot,
+    )
+
+    def audit(staged):
+        # toy per-partition constraint: no NULL values of v allowed
+        per = staged.groupBy("part").agg(
+            F.sum(F.col("v").isNull().cast("long")).alias("nulls")
+        )
+        return per.select(
+            F.lit("no_null_v").alias("constraint_id"),
+            F.col("part").alias("part_id"),
+            F.when(F.col("nulls") > 0, F.lit("FAIL")).otherwise(F.lit("PASS")).alias("status"),
+        )
+
+    tbl = str(tmp_path / "wap_tbl")
+    good = spark.range(100).select((F.col("id") % 4).alias("part"), F.col("id").alias("v"))
+    s0 = write_snapshot(good, tbl)
+
+    bad = spark.range(50).select(
+        (F.col("id") % 4).alias("part"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("v"),
+    )
+    sid, verdicts = write_audit_publish(bad, tbl, audit)
+    assert sid is None
+    assert any(r["status"] == "FAIL" for r in verdicts.collect())
+    assert [s["snapshot_id"] for s in snapshots(tbl)] == [s0]  # nothing published
+    assert read_snapshot(spark, tbl).count() == 100            # readers see old state
+
+    good2 = spark.range(200, 250).select((F.col("id") % 4).alias("part"), F.col("id").alias("v"))
+    sid2, v2 = write_audit_publish(good2, tbl, audit)
+    assert sid2 is not None and all(r["status"] == "PASS" for r in v2.collect())
+    assert read_snapshot(spark, tbl).count() == 150            # append visible
+
+
+def test_compact_snapshot_preserves_rows_and_history(spark, tmp_path):
+    """Compaction rewrites many small files into few, keeps every row, and
+    leaves prior snapshots readable (time travel); with cluster_by the
+    rewrite also restores pruning effectiveness."""
+    from sat_val_framework_spark.sources.snapshots import (
+        compact_snapshot,
+        prune_files,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    tbl = str(tmp_path / "compact_tbl")
+    sids = []
+    for i in range(5):  # five appends of 8 files each -> 40 small files
+        df = spark.range(i * 1000, (i + 1) * 1000).select(F.col("id").alias("k")).repartition(8)
+        sids.append(write_snapshot(df, tbl))
+    assert len(read_snapshot(spark, tbl).inputFiles()) == 40
+
+    sc = compact_snapshot(spark, tbl, target_files=4, cluster_by=["k"])
+    after = read_snapshot(spark, tbl)
+    assert len(after.inputFiles()) == 4
+    assert after.count() == 5000
+    assert after.agg(F.sum("k")).collect()[0][0] == sum(range(5000))
+    # history preserved: the pre-compaction snapshot still reads 40 files
+    assert len(read_snapshot(spark, tbl, sids[-1]).inputFiles()) == 40
+    # clustered rewrite: a 10% range read touches 1 file
+    kept, total = prune_files(tbl, sc, "k", lo=0, hi=499)
+    assert total == 4 and len(kept) == 1
