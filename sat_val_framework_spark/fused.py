@@ -476,49 +476,57 @@ def _run_fused_passes(
     # explicit broadcast: Catalyst plans SMJ here (agg output size unknown at
     # plan time) and AQE can't convert it — the probe side's shuffle is
     # already scheduled when the agg finishes. Measured 6.3s -> 3.8s at 12M.
-    # persist + EAGER count: the unique and fd branches both consume this
-    # join-back; lazily persisted, the union job races both branches into
-    # the probe scan before the cache lands and the 12M-row scan runs twice
-    # (measured -7.6% suite throughput). One eager count pays the scan once;
-    # both branches then read the violation-sized cache.
-    viol_rows = (
+    # ONE downstream pipeline for BOTH constraints: each violator row is
+    # tagged (explode) with every constraint it breaks, sampled by
+    # (constraint_id, part_id) in one window pass, and joined to a
+    # (part x cid) spine. A filter-split into two verdict branches was
+    # measured and rejected: two consumers re-run the 12M-row probe scan
+    # (persist does not help — the union job races both branches before the
+    # cache lands; −7.6%), and rescuing THAT with persist + eager count
+    # serializes an extra job that hurts fixed-cost-dominated sizes.
+    from sat_val_framework_spark.verdicts import bounded_samples
+
+    _empty = F.array().cast("array<string>")
+    tagged = (
         docs_all.join(F.broadcast(bad), "doc_id", "inner")
         .select(
             F.col(part_col).alias("part_id"),
             F.col("doc_id").alias("violation_key"),
-            "dup_count",
-            (F.col("p_min") != F.col("p_max")).alias("fd_bad"),
+            F.explode(
+                F.concat(
+                    F.when(F.col("dup_count") > 1, F.array(F.lit("unique:doc_id"))).otherwise(
+                        _empty
+                    ),
+                    F.when(
+                        F.col("p_min") != F.col("p_max"), F.array(F.lit("fd:doc_id->part_id"))
+                    ).otherwise(_empty),
+                )
+            ).alias("constraint_id"),
         )
-        .persist()
     )
-    viol_rows.count()
     # bounded sampler (window top-10 + exact count), not collect-then-slice:
     # a viral duplicate otherwise collects every copy into one reducer array
-    from sat_val_framework_spark.verdicts import bounded_samples
-
-    def _pass_c_verdicts(cid: str, rows: DataFrame) -> DataFrame:
-        agg = bounded_samples(rows, "part_id", "violation_key")
-        return (
-            wide_a.select("part_id", "rows")
-            .join(agg, "part_id", "left")
-            .select(
-                F.lit(cid).alias("constraint_id"),
-                "part_id",
-                F.when(F.coalesce(F.col("violation_count"), F.lit(0)) > 0, F.lit(FAIL))
-                .otherwise(F.lit(PASS))
-                .alias("status"),
-                F.col("rows").alias("rows_scanned"),
-                F.coalesce(F.col("violation_count"), F.lit(0))
-                .cast("long")
-                .alias("violation_count"),
-                F.coalesce(F.col("sample_violations"), F.array().cast("array<string>")).alias(
-                    "sample_violations"
-                ),
-            )
+    viol_agg = bounded_samples(tagged, ["constraint_id", "part_id"], "violation_key")
+    cid_spine = spark.createDataFrame(
+        [("unique:doc_id",), ("fd:doc_id->part_id",)], "constraint_id string"
+    )
+    pass_c_v = (
+        wide_a.select("part_id", "rows")
+        .crossJoin(F.broadcast(cid_spine))
+        .join(viol_agg, ["constraint_id", "part_id"], "left")
+        .select(
+            "constraint_id",
+            "part_id",
+            F.when(F.coalesce(F.col("violation_count"), F.lit(0)) > 0, F.lit(FAIL))
+            .otherwise(F.lit(PASS))
+            .alias("status"),
+            F.col("rows").alias("rows_scanned"),
+            F.coalesce(F.col("violation_count"), F.lit(0)).cast("long").alias("violation_count"),
+            F.coalesce(F.col("sample_violations"), F.array().cast("array<string>")).alias(
+                "sample_violations"
+            ),
         )
-
-    unique_v = _pass_c_verdicts("unique:doc_id", viol_rows.filter(F.col("dup_count") > 1))
-    fd_v = _pass_c_verdicts("fd:doc_id->part_id", viol_rows.filter(F.col("fd_bad")))
+    )
 
     # drift verdicts carry error_kind (EmptySeriesError); the agg-based
     # verdicts never error — allowMissingColumns fills theirs with NULL
@@ -527,7 +535,6 @@ def _run_fused_passes(
         .unionByName(drift_ns_v, allowMissingColumns=True)
         .unionByName(ref_v, allowMissingColumns=True)
         .unionByName(drift_tl_v, allowMissingColumns=True)
-        .unionByName(unique_v, allowMissingColumns=True)
-        .unionByName(fd_v, allowMissingColumns=True)
+        .unionByName(pass_c_v, allowMissingColumns=True)
         .unionByName(profile_v, allowMissingColumns=True)
     )
