@@ -97,6 +97,28 @@ def bloom_might_contain(key: Column, words: Column, n_bits: int, n_hashes: int) 
     return cond
 
 
+_INTEGRALS = {"tinyint", "smallint", "int", "bigint"}
+_NUMERICS = _INTEGRALS | {"float", "double"}
+
+
+def _hash_type(fact_type: str, dim_type: str) -> str:
+    """Common type BOTH sides hash at. xxhash64 is type-sensitive: hashing
+    an int fact key against a bigint-built filter matches nothing, so every
+    matching row would come back as a 'definite orphan' (found by review —
+    a silent wrong answer, not an error). Mirror the equi-join's coercion
+    for the families we support; refuse the rest loudly."""
+    if fact_type == dim_type:
+        return fact_type
+    if {fact_type, dim_type} <= _INTEGRALS:
+        return "bigint"
+    if {fact_type, dim_type} <= _NUMERICS:
+        return "double"
+    raise ValueError(
+        f"bloom_anti_join key types '{fact_type}' and '{dim_type}' have no "
+        "safe common hash type; cast the keys to a common type first"
+    )
+
+
 def bloom_anti_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -109,17 +131,39 @@ def bloom_anti_join(
     bloom composition. ``n_keys`` sizes the filter; defaults to a count of
     the dim (one cheap agg job — pass the known cardinality at scale).
     NULL fact keys are orphans by definition, matching left-anti (NULL
-    never equi-joins)."""
+    never equi-joins).
+
+    Single-scan shape: rows the bloom rejects get a NULLed join key, so the
+    whole fact passes through ONE left join — bloom-rejected rows match
+    nothing (NULL never equi-joins) and orphans are simply the rows with no
+    hit. The alternative (filter-split into a definite branch and a
+    residue anti-join) consumes the fact scan twice — the exact shape
+    measured at −7.6% in fused.py's Pass C. Definite orphans still skip
+    all matching work; under a shuffle join they co-locate on the NULL-key
+    partition, which AQE's skew split handles in a mass-orphan incident."""
+    common = _hash_type(
+        fact.schema[fact_key].dataType.simpleString(),
+        dim.schema[dim_key].dataType.simpleString(),
+    )
+    dim_k = F.col(dim_key).cast(common)
+    fact_k = F.col(fact_key).cast(common)
     if n_keys is None:
         n_keys = dim.where(F.col(dim_key).isNotNull()).count()
     n_bits, n_hashes = bloom_params(n_keys, fpp)
-    bloom = F.broadcast(bloom_build(dim, dim_key, n_bits, n_hashes))
-    probed = fact.join(bloom)  # 1-row broadcast: BroadcastNestedLoop of a scalar
-    maybe = bloom_might_contain(F.col(fact_key), F.col("bloom_words"), n_bits, n_hashes)
-    definite = probed.where(~F.coalesce(maybe, F.lit(False))).drop("bloom_words")
-    residue = (
-        probed.where(F.coalesce(maybe, F.lit(False)))
-        .drop("bloom_words")
-        .join(dim.select(F.col(dim_key).alias(fact_key)), fact_key, "left_anti")
+    bloom = F.broadcast(
+        bloom_build(dim.select(dim_k.alias("__k")), "__k", n_bits, n_hashes)
     )
-    return definite.unionByName(residue)
+    probed = fact.join(bloom)  # 1-row broadcast: BroadcastNestedLoop of a scalar
+    maybe = F.coalesce(
+        bloom_might_contain(fact_k, F.col("bloom_words"), n_bits, n_hashes), F.lit(False)
+    )
+    tagged = probed.withColumn("__probe_k", F.when(maybe, fact_k)).drop("bloom_words")
+    # distinct dim keys: a left join (unlike left-anti) would duplicate fact
+    # rows on a non-unique dim; the distinct is dim-sized, partial-aggregated
+    hits = dim.select(dim_k.alias("__probe_k")).where(F.col("__probe_k").isNotNull()).distinct()
+    hits = hits.withColumn("__hit", F.lit(True))
+    return (
+        tagged.join(hits, "__probe_k", "left")
+        .where(F.col("__hit").isNull())
+        .drop("__probe_k", "__hit")
+    )

@@ -66,10 +66,17 @@ def fd_violations(
     determinant crosses the shuffle once per DISTINCT dependent value, not
     once per row. NULL dependents are ignored by count_distinct — a NULL
     can't contradict a dependency (SQL FD semantics); an all-NULL group has
-    n_dependent=0 and never flags."""
+    n_dependent=0 and never flags. Rows with a NULL determinant component
+    are excluded entirely: a NULL determines nothing, and (review finding)
+    the fd_check attribution equi-join would silently drop the NULL group
+    anyway — excluding it here keeps the profile and verdict surfaces in
+    agreement."""
     det = _key_list(determinant)
+    nn = df
+    for c in det:
+        nn = nn.where(F.col(c).isNotNull())
     return (
-        df.groupBy(*det)
+        nn.groupBy(*det)
         .agg(
             F.count_distinct(F.col(dependent)).alias("n_dependent"),
             F.count(F.lit(1)).alias("n_rows"),
@@ -79,13 +86,23 @@ def fd_violations(
 
 
 def parse_fd_spec(spec: str) -> tuple[list[str], str]:
-    """'a,b->c' -> (['a','b'], 'c') — the suite-config form of an FD."""
+    """'a,b->c' -> (['a','b'], 'c') — the suite-config form of an FD.
+
+    Dotted (nested) columns are rejected: ``Check.constraint_id`` truncates
+    at the last dot while ``fd_check`` embeds the raw spec, and a mismatch
+    makes checkpoint resume re-run the check forever (the CLAUDE.md
+    constraint-id gotcha — enforced here rather than documented)."""
     if "->" not in spec:
         raise ValueError(f"fd spec must be 'determinant->dependent', got {spec!r}")
     det, dep = spec.split("->", 1)
     dets = [k.strip() for k in det.split(",") if k.strip()]
     if not dets or not dep.strip():
         raise ValueError(f"fd spec must be 'determinant->dependent', got {spec!r}")
+    if any("." in c for c in [*dets, dep]):
+        raise ValueError(
+            f"fd spec columns must be dot-free top-level columns, got {spec!r} "
+            "(dotted paths break constraint-id parity with Check.constraint_id)"
+        )
     return dets, dep.strip()
 
 

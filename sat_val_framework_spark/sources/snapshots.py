@@ -113,10 +113,16 @@ def write_snapshot(
     files (Iceberg's write-ordering story, 1-D). One extra shuffle paid once
     at write time, amortized over every pruned read; stats for the cluster
     columns are recorded automatically."""
+    _check_mode(mode)  # BEFORE staging: a typo'd mode must not run the write job
     new_files = _stage_data(df, table_dir, cluster_by, n_files)
     if cluster_by:
         stats_cols = list(dict.fromkeys([*(stats_cols or []), *cluster_by]))
     return _publish(df.sparkSession, df.schema, table_dir, new_files, mode, stats_cols)
+
+
+def _check_mode(mode: str) -> None:
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown mode '{mode}'")
 
 
 def _stage_data(
@@ -143,8 +149,7 @@ def _publish(
     mode: str,
     stats_cols: list[str] | None,
 ) -> str:
-    if mode not in ("append", "overwrite"):
-        raise ValueError(f"unknown mode '{mode}'")
+    _check_mode(mode)
     prior = _manifests(table_dir)
     parent = prior[-1] if prior else None
     files = (parent["files"] if parent and mode == "append" else []) + new_files
@@ -385,6 +390,7 @@ def write_audit_publish(
     delete data dirs no manifest names). This closes the loop the engine
     exists for: bad data never becomes visible, and the verdicts ARE the
     audit trail either way."""
+    _check_mode(mode)  # BEFORE staging AND the audit: fail in milliseconds
     spark = df.sparkSession
     new_files = _stage_data(df, table_dir, cluster_by, n_files)
     staged = spark.read.parquet(*new_files)  # audit the written bytes, not the plan
@@ -411,7 +417,12 @@ def compact_snapshot(
     efficiency. Time travel is preserved: nothing is deleted, every prior
     snapshot (and its small files) stays readable; ``cluster_by`` re-sorts
     during the rewrite so compaction and range-clustering share the single
-    shuffle."""
+    shuffle. ``stats_cols`` defaults to the columns the CURRENT manifest
+    records stats for — a plain compaction must not silently degrade
+    pruning back to full scans (review finding)."""
+    if stats_cols is None:
+        m = _manifest_for(table_dir, None)
+        stats_cols = sorted({c for s in m.get("stats", {}).values() for c in s}) or None
     current = read_snapshot(spark, table_dir)
     df = current if cluster_by else current.repartition(target_files)
     return write_snapshot(

@@ -204,5 +204,8 @@ class CheckSuite:
             params = item.get("params", {})
             if not isinstance(params, dict):
                 raise SuiteConfigError(f"check #{i}: params must be an object")
-            checks.append(Check(str(item["kind"]), item.get("column"), params))
+            col = item.get("column")
+            # coerce to str so a numeric column surfaces through validate()
+            # as a config-error VALUE instead of crashing constraint_id
+            checks.append(Check(str(item["kind"]), None if col is None else str(col), params))
         return CheckSuite(checks)

@@ -70,16 +70,44 @@ def test_bloom_no_false_negatives_and_fpp_bounded(spark):
     assert fp < 0.03, fp
 
 
-def test_bloom_definite_orphans_skip_the_join(spark):
-    """The union's first branch (bloom-rejected rows) must be join-free:
-    count the anti-join operators in the whole plan — exactly ONE (the
-    residue branch), not one per branch."""
+def test_bloom_single_fact_scan_single_join(spark):
+    """The whole composition must read the fact table ONCE (the
+    filter-split two-branch shape re-ran the scan per branch — the −7.6%
+    lesson from fused Pass C) and contain exactly one equi-join."""
     dim = spark.range(5_000).select(F.col("id").alias("k"))
     fact = spark.range(50_000).select(F.col("id").alias("k"))
     orphans = bloom.bloom_anti_join(fact, dim, "k", "k")
     assert orphans.count() == 45_000
     plan = orphans._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("LeftAnti") == 1, plan
+    assert plan.count("Range (0, 50000") == 1, plan  # fact scanned once
+    n_joins = sum(plan.count(j) for j in ("SortMergeJoin", "BroadcastHashJoin"))
+    assert n_joins == 1, plan
+
+
+def test_bloom_mixed_key_types_still_exact(spark):
+    """xxhash64 is type-sensitive: an int fact key probed against a
+    bigint-built filter matches nothing and every matching row would come
+    back a 'definite orphan'. The common-type cast must keep the answer
+    exactly the left-anti answer; incompatible families refuse loudly."""
+    import pytest
+
+    dim = spark.range(100).select(F.col("id").alias("k"))  # bigint
+    fact = spark.range(150).select(F.col("id").cast("int").alias("k"))  # int
+    got = sorted(r["k"] for r in bloom.bloom_anti_join(fact, dim, "k", "k").collect())
+    assert got == list(range(100, 150))  # matching rows are NOT orphans
+
+    sfact = spark.range(10).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(ValueError, match="common hash type"):
+        bloom.bloom_anti_join(sfact, dim, "k", "k")
+
+
+def test_bloom_nonunique_dim_does_not_duplicate_orphans(spark):
+    """left-anti semantics: a dim key appearing many times still matches
+    once; the internal left-join formulation must not fan out fact rows."""
+    dim = spark.range(50).select((F.col("id") % 10).alias("k"))  # each key x5
+    fact = spark.range(20).select(F.col("id").alias("k"))
+    got = sorted(r["k"] for r in bloom.bloom_anti_join(fact, dim, "k", "k").collect())
+    assert got == list(range(10, 20))
 
 
 def test_bloom_null_fact_keys_match_left_anti_semantics(spark):

@@ -420,3 +420,43 @@ def test_compact_snapshot_preserves_rows_and_history(spark, tmp_path):
     # clustered rewrite: a 10% range read touches 1 file
     kept, total = prune_files(tbl, sc, "k", lo=0, hi=499)
     assert total == 4 and len(kept) == 1
+
+
+def test_snapshot_bad_mode_fails_before_any_write(spark, tmp_path):
+    """A typo'd mode must raise in milliseconds, BEFORE the (possibly
+    shuffled) write job runs and orphans staged files."""
+    import os
+
+    import pytest
+
+    from sat_val_framework_spark.sources.snapshots import write_audit_publish, write_snapshot
+
+    tbl = str(tmp_path / "mode_tbl")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="unknown mode"):
+        write_snapshot(df, tbl, mode="overwite")
+    with pytest.raises(ValueError, match="unknown mode"):
+        write_audit_publish(df, tbl, lambda s: s, mode="apend")
+    assert not os.path.exists(tbl)  # nothing staged, nothing published
+
+
+def test_compact_preserves_recorded_stats_columns(spark, tmp_path):
+    """Plain compaction (no stats_cols argument) must keep recording stats
+    for the columns the table already tracks — pruning must not silently
+    degrade to full scans after maintenance."""
+    from sat_val_framework_spark.sources.snapshots import (
+        compact_snapshot,
+        prune_files,
+        write_snapshot,
+    )
+
+    tbl = str(tmp_path / "keepstats_tbl")
+    df = spark.range(0, 8_000).select(F.col("id").alias("k"))
+    write_snapshot(df.repartitionByRange(8, "k"), tbl, stats_cols=["k"])
+    sc = compact_snapshot(spark, tbl, target_files=4)  # no stats_cols passed
+    # a query range OUTSIDE the data domain prunes to zero files iff the
+    # compacted manifest still records k stats (files without stats are
+    # never skipped); the compacted round-robin layout legitimately keeps
+    # all files for in-domain ranges, so out-of-domain is the crisp probe
+    kept, total = prune_files(tbl, sc, "k", lo=100_000, hi=200_000)
+    assert total == 4 and len(kept) == 0

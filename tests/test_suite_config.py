@@ -67,3 +67,11 @@ def test_suite_json_roundtrip_and_errors(spark, docs):
     s = CheckSuite.from_json('[{"kind": "nope"}, {"kind": "stats", "column": "missing_col"}]')
     errs = s.validate(docs)
     assert len(errs) == 2
+
+
+def test_from_json_numeric_column_surfaces_as_config_error(spark, docs):
+    from sat_val_framework_spark.suite import CheckSuite
+
+    s = CheckSuite.from_json('[{"kind": "stats", "column": 5}]')
+    errs = s.validate(docs)  # must not crash with AttributeError
+    assert len(errs) == 1 and "5" in str(errs[0])

@@ -151,3 +151,28 @@ def test_fd_check_suite_fixture_fail_parts(spark, docs):
     assert all(r["constraint_id"] == "fd:doc_id->part_id" for r in v.values())
     assert v[6]["violation_count"] == 2 and v[0]["violation_count"] == 0
     assert viol.count() == 8  # 4 dup pairs x 2 rows
+
+
+def test_fd_spec_rejects_dots_and_null_determinants_consistent(spark):
+    """Dotted fd specs would break constraint-id parity with
+    Check.constraint_id (checkpoint-resume-forever class) — rejected at
+    parse time. NULL determinant rows are excluded from fd_violations so
+    the profile and the fd_check verdict surfaces agree (the attribution
+    equi-join can never see a NULL group anyway)."""
+    import pytest
+
+    from sat_val_framework_spark.operators.uniqueness import fd_check, fd_violations, parse_fd_spec
+
+    with pytest.raises(ValueError, match="dot-free"):
+        parse_fd_spec("meta.source->x")
+    with pytest.raises(ValueError, match="dot-free"):
+        parse_fd_spec("a->meta.x")
+
+    rows = [(None, "v1"), (None, "v2"), ("k1", "v1"), ("k1", "v1")]
+    df = spark.createDataFrame(rows, ["a", "b"]).withColumn(
+        "part_id", F.lit(0)
+    )
+    assert fd_violations(df, "a", "b").count() == 0  # NULL determines nothing
+    verdicts, viol = fd_check(df, "a->b")
+    assert viol.count() == 0
+    assert all(r["status"] == "PASS" for r in verdicts.collect())
