@@ -244,6 +244,27 @@ def q_drift_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdf.groupBy("grp").agg(_r6(F.sum("d") * _BIN_W).alias("emd"))
 
 
+def q_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 family: KL(observed || global) per event_type — more sensitive
+    than PSI to NEW mass where the baseline is near zero (emerging values);
+    same single base histogram, p=0 bins contribute 0 so only observed
+    bins join."""
+    obs, glob, tot, nall = _drift_base(spark, sf_dir)
+    eps = F.lit(1e-6)
+    joined = (
+        glob.join(obs.join(tot, "grp"), "bin_id")
+        .crossJoin(nall)
+        .select(
+            "grp",
+            (F.col("c") / F.col("t")).alias("p"),
+            F.greatest(F.col("g") / F.col("n_all"), eps).alias("q"),
+        )
+    )
+    return joined.groupBy("grp").agg(
+        _r6(F.sum(F.col("p") * F.log(F.col("p") / F.col("q")))).alias("kl")
+    )
+
+
 def q_verdict_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B11: errors-as-values — a mini-suite emitting one verdict row per
     (constraint, group), never raising (implement.py:23-56 contract)."""
@@ -314,6 +335,50 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sat_val_framework_spark.functions.text import vocab_topk
 
     return vocab_topk(_t_wide(spark, sf_dir, "documents"), k=20)
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: near-dup pairs ACROSS two corpora
+    (documents split by doc_id parity as the stand-in train/eval sides) via
+    the side-prefixed LSH -> cross-filter -> exact-Jaccard-verify
+    composition (functions/dedup.py:cross_contamination)."""
+    d = _t_wide(spark, sf_dir, "documents")
+    pairs = dedup.cross_contamination(
+        d.where(F.col("doc_id") % 2 == 0),
+        d.where(F.col("doc_id") % 2 == 1),
+        threshold=0.5,
+    )
+    return pairs.select(
+        F.col("a_id").cast("long").alias("a_id"),
+        F.col("b_id").cast("long").alias("b_id"),
+        "jaccard",
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction parity probe: every doc gets synthetic PII (an email,
+    an IP, a phone built from its doc_id) appended, redact_pii strips it,
+    and the digest of the redacted text is compared against the DuckDB
+    twin — the regex pipeline is exercised on EVERY row, not just rows
+    that happen to contain PII."""
+    from sat_val_framework_spark.functions.text import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact-"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call +1 (555) 010-"),
+        (F.col("doc_id") % 10000).cast("string"),
+    )
+    red = redact_pii(synth)
+    return d.select(
+        "doc_id",
+        F.md5(red).alias("redacted_digest"),
+        (F.length(synth) - F.length(red)).alias("chars_removed"),
+    )
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -834,11 +899,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi": q_drift_psi,
         "drift_ks": q_drift_ks,
         "drift_emd": q_drift_emd,
+        "drift_kl": q_drift_kl,
         "verdict_union": q_verdict_union,
         "checkpoint_pending": q_checkpoint_pending,
         "dedup_exact": q_dedup_exact,
         "dedup_normalized": q_dedup_normalized,
         "vocab_topk": q_vocab_topk,
+        "contamination": q_contamination,
+        "pii_redact": q_pii_redact,
         "dedup_jaccard": q_dedup_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -1114,6 +1182,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY grp
         """,
         "drift_ks": _DRIFT_KS_SQL,
+        "drift_kl": """
+            WITH e AS (SELECT event_type,
+                              least(floor(value / 20.0), 24)::int AS bin_id
+                       FROM events WHERE value IS NOT NULL),
+            obs AS (SELECT event_type AS grp, bin_id, count(*) AS c FROM e GROUP BY 1, 2),
+            ghist AS (SELECT bin_id, count(*) AS g FROM e GROUP BY 1),
+            tot AS (SELECT event_type AS grp, count(*) AS t FROM e GROUP BY 1),
+            n AS (SELECT count(*) AS n_all FROM e)
+            SELECT grp,
+                   round(sum(p * ln(p / q)), 6) AS kl
+            FROM (SELECT obs.grp,
+                         obs.c * 1.0 / tot.t AS p,
+                         greatest(ghist.g * 1.0 / n.n_all, 1e-6) AS q
+                  FROM ghist JOIN obs USING (bin_id) JOIN tot ON obs.grp = tot.grp, n)
+            GROUP BY grp
+        """,
         "drift_emd": _DRIFT_EMD_SQL,
         # the pandas/Arrow kernel computes the same zero-filled-spine KS, so
         # the SQL twin is its oracle too (VERDICT r1 item 3)
@@ -1200,6 +1284,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
               ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        """,
+        # cross-corpus contamination: the same LSH pipeline over the raw
+        # ids — the Spark side's 'a:'/'b:' prefixes only enforce side
+        # ordering, the signatures are text-only — with candidates
+        # restricted to (even, odd) doc_id pairs (the parity split)
+        "contamination": f"""
+            WITH {_LSH_CTES},
+            cands AS (
+                SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM bands a JOIN bands b
+                  ON a.band_id = b.band_id AND a.band_key = b.band_key
+                 AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+            shd AS (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM toks),
+            sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shd GROUP BY doc_id),
+            inter AS (SELECT c.a_id, c.b_id, count(*) AS n_inter
+                      FROM cands c
+                      JOIN shd a ON a.doc_id = c.a_id
+                      JOIN shd b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+                      GROUP BY 1, 2)
+            SELECT a_id, b_id,
+                   round(n_inter * 1.0 / (sa.n_shingles + sb.n_shingles - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a_id
+            JOIN sizes sb ON sb.doc_id = b_id
+            WHERE n_inter * 1.0 / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5
+        """,
+        "pii_redact": """
+            WITH synth AS (
+                SELECT doc_id,
+                       coalesce(text, '') || ' contact-' || doc_id::varchar
+                       || '@example.com from 10.0.' || (doc_id % 256)::varchar
+                       || '.7 call +1 (555) 010-' || (doc_id % 10000)::varchar AS s
+                FROM documents
+            ),
+            red AS (
+                SELECT doc_id, s,
+                       regexp_replace(regexp_replace(regexp_replace(s,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+                           '\\+?\\d[\\d()\\- ]{7,}\\d', '<PHONE>', 'g') AS r
+                FROM synth
+            )
+            SELECT doc_id, md5(r) AS redacted_digest,
+                   (length(s) - length(r))::bigint AS chars_removed
+            FROM red
         """,
         "simhash": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)

@@ -64,6 +64,11 @@ HEADLINE = [
     "referential_bloom",
     "quantile_profile",
     "fd_violations",
+    "vocab_topk",
+    "dedup_normalized",
+    "contamination",
+    "pii_redact",
+    "drift_kl",
 ]
 
 

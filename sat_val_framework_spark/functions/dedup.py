@@ -500,3 +500,48 @@ def normalized_duplicates(
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def cross_contamination(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+    rows_per_band: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """-> (a_id, b_id, jaccard): near-duplicate pairs ACROSS two corpora —
+    benchmark-contamination detection (did eval data leak into the training
+    corpus?), the cross-corpus twin of the A10 matcher contract
+    (/root/reference/sat_val_framework/implement.py:140-143).
+
+    Same LSH -> verify composition as within-corpus jaccard dedup: ids are
+    side-prefixed ('a:'/'b:', so they cannot collide across corpora and the
+    canonical doc_a < doc_b ordering puts the a-side first in every cross
+    pair), signatures/banding run over the UNION once, and within-corpus
+    candidate pairs are dropped BEFORE the expensive shingle verify — the
+    verify cost tracks only cross-corpus candidates. Ids return as strings
+    with the prefix stripped (callers cast back to their key type)."""
+    pa = corpus_a.select(
+        F.concat(F.lit("a:"), F.col(id_col).cast("string")).alias(id_col),
+        F.col(text_col),
+    )
+    pb = corpus_b.select(
+        F.concat(F.lit("b:"), F.col(id_col).cast("string")).alias(id_col),
+        F.col(text_col),
+    )
+    u = pa.unionByName(pb)
+    sigs = minhash_signature(u, k, n, text_col, id_col, hash_fn)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band).where(
+        F.col("doc_a").startswith("a:") & F.col("doc_b").startswith("b:")
+    )
+    pairs = jaccard_on_pairs(cands, u, threshold, n, text_col, id_col)
+    return pairs.select(
+        F.expr("substring(doc_a, 3)").alias("a_id"),
+        F.expr("substring(doc_b, 3)").alias("b_id"),
+        "jaccard",
+    )

@@ -166,3 +166,26 @@ def vocab_topk(
         F.count_distinct("doc_id").alias("n_docs"),
     )
     return counts.orderBy(F.col("n_occurrences").desc(), F.col("token")).limit(k)
+
+
+# lookaround-free patterns, identical semantics in Java regex and RE2
+# (DuckDB): the safe common dialect, same constraint as the BPE pre-tokenizer
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d()\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Training corpora must not memorize contact details: replace emails,
+    IPv4 addresses, and phone-shaped digit runs with typed placeholders.
+    Pure JVM ``regexp_replace`` chain (whole-stage codegen, no Python);
+    patterns are deliberately lookaround-free so the DuckDB oracle twin is
+    bit-identical. Order matters: emails first (their local part can look
+    phone-shaped), then IPs (dotted digits would otherwise match the phone
+    run), then phones. NULL stays NULL."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

@@ -114,7 +114,7 @@ def drift_scores(
         if n == 0:
             # nothing to compare: the statistic is undefined, not zero —
             # surfaced as NaN so drift_check emits a typed ERROR verdict
-            ks = psi = emd = float("nan")
+            ks = psi = emd = kl = float("nan")
         else:
             p = counts / n
             cdf_diff = np.abs(p.cumsum() - ref_cum)
@@ -126,6 +126,11 @@ def drift_scores(
             pc = np.clip(p, _EPS, None)
             qc = np.clip(ref, _EPS, None)
             psi = float(((pc - qc) * np.log(pc / qc)).sum())
+            # KL(observed || baseline): asymmetric surprise of seeing the
+            # observed distribution when expecting the baseline — more
+            # sensitive than PSI to NEW mass where the baseline is near
+            # zero (an emerging value), which is the early-warning case
+            kl = float((pc * np.log(pc / qc)).sum())
         return pd.DataFrame(
             {
                 "part_id": [int(pdf["part_id"].iloc[0])],
@@ -133,12 +138,13 @@ def drift_scores(
                 "ks": [ks],
                 "psi": [psi],
                 "emd": [emd],
+                "kl": [kl],
             }
         )
 
     obs = histogram(series, edges, part_col, value_col, null_bin=True)
     return obs.groupBy("part_id").applyInPandas(
-        kernel, schema="part_id int, rows_scanned long, ks double, psi double, emd double"
+        kernel, schema="part_id int, rows_scanned long, ks double, psi double, emd double, kl double"
     )
 
 
@@ -149,6 +155,7 @@ def drift_check(
     ks_threshold: float = 0.15,
     psi_threshold: float = 0.2,
     emd_threshold: float = 1.0,
+    kl_threshold: float = 0.15,
     part_col: str = "part_id",
     value_col: str = "value",
     stats: tuple[str, ...] = ("ks", "psi"),
@@ -161,7 +168,7 @@ def drift_check(
     ERROR verdict (EmptySeriesError) instead of silently vanishing."""
     scores = drift_scores(series, baseline, col_name, part_col, value_col)
     empty_samples = F.array().cast("array<string>")
-    thresholds = {"ks": ks_threshold, "psi": psi_threshold, "emd": emd_threshold}
+    thresholds = {"ks": ks_threshold, "psi": psi_threshold, "emd": emd_threshold, "kl": kl_threshold}
 
     def verdict(stat: str) -> DataFrame:
         threshold = thresholds[stat]

@@ -61,7 +61,7 @@ DEFAULT_SUITE = CheckSuite(
 
 _SERIES = {"n_spans": profile.n_spans_series, "text_len": profile.text_len_series}
 
-DRIFT_KINDS = ("drift_ks", "drift_psi", "drift_emd")
+DRIFT_KINDS = ("drift_ks", "drift_psi", "drift_emd", "drift_kl")
 
 
 @dataclass
@@ -266,6 +266,9 @@ def run_suite(
                 emd_threshold=float(siblings["drift_emd"].params["threshold"])
                 if "drift_emd" in siblings
                 else 1.0,
+                kl_threshold=float(siblings["drift_kl"].params["threshold"])
+                if "drift_kl" in siblings
+                else 0.15,
                 part_col=part_col,
                 stats=tuple(k.removeprefix("drift_") for k in siblings),
             )

@@ -433,3 +433,53 @@ def compact_snapshot(
         cluster_by=cluster_by,
         n_files=target_files if cluster_by else None,
     )
+
+
+def orphan_data_dirs(table_dir: str) -> list[str]:
+    """Data directories under ``table_dir/data`` that NO manifest
+    references — WAP-rejected stages and crashed writes. Pure metadata
+    (manifest file lists vs a directory listing); no Spark job. Run only
+    while no write is in flight: a writer that has staged but not yet
+    published looks exactly like an orphan (Iceberg's remove_orphan_files
+    has the same caveat and solves it with a retention interval)."""
+    referenced = {
+        os.path.dirname(f) for m in _manifests(table_dir) for f in m["files"]
+    }
+    all_dirs = sorted(glob.glob(os.path.join(table_dir, "data", "*")))
+    return [d for d in all_dirs if d not in referenced]
+
+
+def remove_orphan_dirs(table_dir: str) -> list[str]:
+    """Delete orphan data dirs; returns what was removed. Never touches a
+    dir any manifest names, so every snapshot stays readable."""
+    import shutil
+
+    removed = []
+    for d in orphan_data_dirs(table_dir):
+        shutil.rmtree(d)
+        removed.append(d)
+    return removed
+
+
+def expire_snapshots(table_dir: str, keep_last: int) -> dict:
+    """Expire all but the newest ``keep_last`` snapshots: delete their
+    manifests, then delete data dirs no SURVIVING manifest references
+    (files shared with surviving snapshots — append lineage — are kept).
+    Returns {'expired': [snapshot_ids], 'removed_dirs': [...]}. This is the
+    retention knob that bounds time-travel storage on a lake where every
+    compaction/overwrite would otherwise keep dead files forever."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    ms = _manifests(table_dir)
+    expired = ms[:-keep_last]
+    if not expired:
+        return {"expired": [], "removed_dirs": []}
+    for m in expired:
+        path = os.path.join(
+            _manifest_dir(table_dir), f"{m['seq']:08d}-{m['snapshot_id']}.json"
+        )
+        os.remove(path)
+    return {
+        "expired": [m["snapshot_id"] for m in expired],
+        "removed_dirs": remove_orphan_dirs(table_dir),
+    }

@@ -24,6 +24,7 @@ KINDS = frozenset(
         "drift_ks",       # B7
         "drift_psi",      # B8
         "drift_emd",      # B7 family: Wasserstein-1 on the binned support
+        "drift_kl",       # B7 family: KL(observed || baseline) — emerging-value sensitive
         "span_seq",       # B9 canonical span-sequence equality
         "subset",         # A14: parameterized predicate subsetter
         "profile",        # distribution profile as a constraint (top-share /
@@ -109,7 +110,7 @@ class CheckSuite:
                     errors.append(
                         SuiteConfigError(f"{c.constraint_id}: column '{c.column}' not in schema")
                     )
-            if c.kind in ("stats", "unique", "drift_ks", "drift_psi", "drift_emd") and c.column:
+            if c.kind in ("stats", "unique", "drift_ks", "drift_psi", "drift_emd", "drift_kl") and c.column:
                 # 'unique' accepts a comma-joined composite key: each
                 # component must resolve (e.g. 'source,doc_id')
                 parts = (
@@ -155,7 +156,7 @@ class CheckSuite:
                         errors.append(
                             SuiteConfigError(f"{c.constraint_id}: bad predicate {pred!r}: {e}")
                         )
-            if c.kind in ("drift_ks", "drift_psi", "drift_emd"):
+            if c.kind in ("drift_ks", "drift_psi", "drift_emd", "drift_kl"):
                 thr = c.params.get("threshold")
                 if thr is None or not isinstance(thr, (int, float)) or thr <= 0:
                     errors.append(

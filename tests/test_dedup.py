@@ -218,3 +218,28 @@ def test_normalized_duplicates_catch_reformatted_copies(spark):
     assert got == {(1, 2, 3): 3, (5, 6): 2}
     # exact dedup sees none of the reformatted copies
     assert dedup.exact_duplicates(df.where("text is not null")).count() == 0
+
+
+def test_cross_contamination_finds_only_cross_pairs(spark):
+    """Contamination = near-dups ACROSS corpora: the eval doc copied from
+    train is found; within-corpus dups are NOT reported; ids survive the
+    prefix round-trip."""
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),  # within-train dup
+            (3, "pack my box with five dozen liquor jugs right now"),
+        ],
+        ["doc_id", "text"],
+    )
+    evalset = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog tonight"),  # leaked!
+            (11, "sphinx of black quartz judge my vow today friends"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {(r["a_id"], r["b_id"]): r["jaccard"]
+           for r in dedup.cross_contamination(train, evalset, threshold=0.5).collect()}
+    assert set(got) == {("1", "10"), ("2", "10")}
+    assert all(j == 1.0 for j in got.values())

@@ -84,3 +84,40 @@ def test_emd_check_through_suite(spark, docs, baseline, catalog):
     assert set(v.constraint_id) == {"drift_ks:n_spans", "drift_emd:n_spans"}
     emd_failed = set(v[(v.constraint_id == "drift_emd:n_spans") & (v.status == "FAIL")].part_id)
     assert emd_failed == {fx.DRIFT_PART}
+
+
+def test_kl_matches_numpy_oracle_and_suite_check(spark, docs, baseline, catalog):
+    """KL(observed || baseline) vs an independent numpy computation over
+    the same histograms (terms with p=0 contribute 0; q clamped at eps),
+    and as a configured drift_kl suite check only the drifted partition
+    fails."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sat_val_framework_spark.operators.drift import _EPS, baseline_edges, histogram
+    from sat_val_framework_spark.runner import run_suite
+    from sat_val_framework_spark.suite import Check, CheckSuite
+
+    edges = baseline_edges(baseline, "n_spans")
+    _lo0, _width, n_bins = edges
+    series = profile.n_spans_series(docs)
+    hist = histogram(series, edges).toPandas()
+    ref_rows = baseline.filter(F.col("col_name") == "n_spans").orderBy("bin_id").collect()
+    ref = np.zeros(n_bins)
+    for r in ref_rows:
+        ref[r["bin_id"]] = r["ref_frac"]
+    scores = drift_scores(series, baseline, "n_spans").toPandas().set_index("part_id")
+    for p, g in hist.groupby("part_id"):
+        counts = np.zeros(n_bins)
+        counts[g[g["bin_id"] >= 0]["bin_id"].to_numpy()] = g[g["bin_id"] >= 0][
+            "obs_count"
+        ].to_numpy()
+        pdist = counts / counts.sum()
+        pc, qc = np.clip(pdist, _EPS, None), np.clip(ref, _EPS, None)
+        expected = float((pc * np.log(pc / qc)).sum())
+        assert scores.loc[p, "kl"] == pytest.approx(expected, abs=1e-9)
+
+    suite = CheckSuite([Check("drift_kl", "n_spans", {"threshold": 0.15})])
+    v = run_suite(spark, docs, suite, baseline=baseline).verdicts.toPandas()
+    assert set(v.constraint_id) == {"drift_kl:n_spans"}
+    assert set(v[v.status == "FAIL"].part_id) == {fx.DRIFT_PART}

@@ -460,3 +460,50 @@ def test_compact_preserves_recorded_stats_columns(spark, tmp_path):
     # all files for in-domain ranges, so out-of-domain is the crisp probe
     kept, total = prune_files(tbl, sc, "k", lo=100_000, hi=200_000)
     assert total == 4 and len(kept) == 0
+
+
+def test_janitor_removes_only_unreferenced_data(spark, tmp_path):
+    """WAP-rejected stages become orphan dirs; the janitor removes exactly
+    those. expire_snapshots keeps the newest N readable (incl. shared
+    append-lineage files) and reclaims the rest."""
+    import os
+
+    from sat_val_framework_spark.sources.snapshots import (
+        expire_snapshots,
+        orphan_data_dirs,
+        read_snapshot,
+        remove_orphan_dirs,
+        snapshots,
+        write_audit_publish,
+        write_snapshot,
+    )
+
+    tbl = str(tmp_path / "jan_tbl")
+    df = lambda a, b: spark.range(a, b).select(F.col("id").alias("k"))  # noqa: E731
+    s1 = write_snapshot(df(0, 100), tbl)
+    s2 = write_snapshot(df(100, 200), tbl, mode="append")
+    # a rejected WAP stage -> orphan dir
+    sid, _ = write_audit_publish(
+        df(200, 300), tbl,
+        lambda staged: spark.createDataFrame([("c", "FAIL")], "constraint_id string, status string"),
+    )
+    assert sid is None
+    orphans = orphan_data_dirs(tbl)
+    assert len(orphans) == 1
+    removed = remove_orphan_dirs(tbl)
+    assert removed == orphans and not os.path.exists(removed[0])
+    assert read_snapshot(spark, tbl).count() == 200  # published data untouched
+
+    # expire: keep only the newest snapshot; s1's dir is SHARED via append
+    # lineage (s2 references it), so nothing is removed and s2 still reads
+    out = expire_snapshots(tbl, keep_last=1)
+    assert out["expired"] == [s1] and out["removed_dirs"] == []
+    assert [s["snapshot_id"] for s in snapshots(tbl)] == [s2]
+    assert read_snapshot(spark, tbl).count() == 200
+
+    # an overwrite then expire DOES reclaim the now-unreferenced dirs
+    s3 = write_snapshot(df(0, 50), tbl, mode="overwrite")
+    out2 = expire_snapshots(tbl, keep_last=1)
+    assert out2["expired"] == [s2] and len(out2["removed_dirs"]) == 2  # s1+s2 data dirs
+    assert read_snapshot(spark, tbl).count() == 50
+    assert [s["snapshot_id"] for s in snapshots(tbl)] == [s3]

@@ -136,3 +136,25 @@ def test_vocab_topk_plan_is_take_ordered_no_window(spark):
     plan = vocab_topk(df, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_redact_pii_patterns_and_ordering(spark):
+    from pyspark.sql import functions as F
+
+    from sat_val_framework_spark.functions.text import redact_pii
+
+    rows = [
+        (1, "mail bob.smith+x@sub.example.org now"),
+        (2, "server at 192.168.1.254 fell over"),
+        (3, "call +1 (555) 010-1234 or 555 010 9999 today"),
+        (4, "version 1.2 costs 3.50 at example.com"),  # none of these are PII
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["red"] for r in df.select(
+        "doc_id", redact_pii(F.col("text")).alias("red")).collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "server at <IP> fell over"
+    assert got[3] == "call <PHONE> or <PHONE> today"
+    assert got[4] == "version 1.2 costs 3.50 at example.com"
+    assert got[5] is None
