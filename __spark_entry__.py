@@ -381,6 +381,15 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per doc: dup-word fraction
+    (array exprs, no explode) + top-bigram fraction (explode -> two-level
+    hash-agg) — functions/text.py:repetition_profile."""
+    from sat_val_framework_spark.functions.text import repetition_profile
+
+    return repetition_profile(_t_wide(spark, sf_dir, "documents"))
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH -> exact-Jaccard verify: MinHash banding proposes candidate
     pairs (equi-join on band buckets), exact n-gram Jaccard verifies each.
@@ -907,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "contamination": q_contamination,
         "pii_redact": q_pii_redact,
+        "repetition": q_repetition,
         "dedup_jaccard": q_dedup_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -1309,6 +1319,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a_id
             JOIN sizes sb ON sb.doc_id = b_id
             WHERE n_inter * 1.0 / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.5
+        """,
+        "repetition": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            base AS (SELECT doc_id, t,
+                            CASE WHEN len(t) > 0
+                                 THEN round(1.0 - len(list_distinct(t)) * 1.0 / len(t), 6)
+                            END AS dup_word_frac
+                     FROM toks),
+            bi AS (SELECT doc_id,
+                          unnest(list_transform(generate_series(1, len(t) - 1),
+                                                i -> t[i] || ' ' || t[i + 1])) AS bigram
+                   FROM base WHERE len(t) >= 2),
+            per_big AS (SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY 1, 2),
+            per_doc AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bigrams
+                        FROM per_big GROUP BY 1)
+            SELECT base.doc_id, base.dup_word_frac,
+                   round(per_doc.top_c * 1.0 / per_doc.n_bigrams, 6) AS top_bigram_frac
+            FROM base LEFT JOIN per_doc ON base.doc_id = per_doc.doc_id
         """,
         "pii_redact": """
             WITH synth AS (

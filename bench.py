@@ -69,6 +69,7 @@ HEADLINE = [
     "contamination",
     "pii_redact",
     "drift_kl",
+    "repetition",
 ]
 
 

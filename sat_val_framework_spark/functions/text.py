@@ -189,3 +189,52 @@ def redact_pii(text: Column) -> Column:
     for pat, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+def repetition_profile(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals (the Gopher/MassiveText quality-
+    filter family): ``dup_word_frac`` (1 - distinct/total tokens) and
+    ``top_bigram_frac`` (occurrences of the most common word bigram /
+    total bigrams). Degenerate generated/boilerplate text scores high on
+    both; a downstream training_filter thresholds them.
+
+    Scale shape: bigrams explode to one row each, then ONE two-level
+    hash-agg — (doc, bigram) counts partial-aggregate map-side, the
+    per-doc max is a second tiny agg keyed by doc — and the token-level
+    stats are pure array expressions with no explode at all. Token-less
+    and NULL docs get NULL fractions (undefined, not 0 — the callers'
+    NULL-handling decides)."""
+    toks = tokens_col(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.size(toks) > 0, 1.0 - F.size(F.array_distinct(toks)) / F.size(toks))
+        .alias("dup_word_frac"),
+        toks.alias("__toks"),
+    )
+    bi = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("__toks") >= 2,
+                F.transform(
+                    F.slice("__toks", 1, F.size("__toks") - 1),
+                    lambda t, i: F.concat_ws(" ", t, F.element_at(F.col("__toks"), i + 2)),
+                ),
+            )
+        ).alias("bigram"),
+    )
+    per_big = bi.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_big.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_bigrams")
+    )
+    return (
+        base.select("doc_id", "dup_word_frac")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round("dup_word_frac", 6).alias("dup_word_frac"),
+            F.round(F.col("top_c") / F.col("n_bigrams"), 6).alias("top_bigram_frac"),
+        )
+    )

@@ -158,3 +158,27 @@ def test_redact_pii_patterns_and_ordering(spark):
     assert got[3] == "call <PHONE> or <PHONE> today"
     assert got[4] == "version 1.2 costs 3.50 at example.com"
     assert got[5] is None
+
+
+def test_repetition_profile_python_oracle(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from sat_val_framework_spark.functions.text import repetition_profile
+
+    rows = [
+        (1, "a a a a"),              # 1 distinct of 4; bigram 'a a' x3 of 3
+        (2, "w x y z"),              # all distinct; each bigram once of 3
+        (3, "spam ham spam ham spam"),  # 2/5 distinct; 'spam ham' 2 of 4
+        (4, "solo"),                 # 1 token: no bigrams -> NULL frac
+        (5, None),                   # NULL text -> NULL fracs
+        (6, ""),                     # no tokens -> NULL fracs
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["dup_word_frac"], r["top_bigram_frac"])
+           for r in repetition_profile(df).collect()}
+    assert got[1] == (0.75, 1.0)
+    assert got[2] == (0.0, round(1 / 3, 6))
+    assert got[3] == (0.6, 0.5)
+    assert got[4] == (0.0, None)
+    assert got[5] == (None, None)
+    assert got[6] == (None, None)
