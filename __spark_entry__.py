@@ -363,7 +363,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     that happen to contain PII."""
     from sat_val_framework_spark.functions.text import redact_pii
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")  # regex chain is per-row CPU
     synth = F.concat(
         F.coalesce(F.col("text"), F.lit("")),
         F.lit(" contact-"),

@@ -526,15 +526,20 @@ def cross_contamination(
     candidate pairs are dropped BEFORE the expensive shingle verify — the
     verify cost tracks only cross-corpus candidates. Ids return as strings
     with the prefix stripped (callers cast back to their key type)."""
-    pa = corpus_a.select(
-        F.concat(F.lit("a:"), F.col(id_col).cast("string")).alias(id_col),
-        F.col(text_col),
-    )
-    pb = corpus_b.select(
-        F.concat(F.lit("b:"), F.col(id_col).cast("string")).alias(id_col),
-        F.col(text_col),
-    )
-    u = pa.unionByName(pb)
+    # token-less (NULL/empty/whitespace) docs are dropped up front: the
+    # shingle sentinel would give them ALL identical signatures, so every
+    # empty doc on side a would pair with every empty doc on side b — a
+    # quadratic clique of jaccard-1.0 false "contamination" (review
+    # finding). An empty doc cannot leak content by definition.
+    def _side(df: DataFrame, tag: str) -> DataFrame:
+        return df.where(
+            F.coalesce(F.trim(F.col(text_col)), F.lit("")) != ""
+        ).select(
+            F.concat(F.lit(tag), F.col(id_col).cast("string")).alias(id_col),
+            F.col(text_col),
+        )
+
+    u = _side(corpus_a, "a:").unionByName(_side(corpus_b, "b:"))
     sigs = minhash_signature(u, k, n, text_col, id_col, hash_fn)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band).where(
         F.col("doc_a").startswith("a:") & F.col("doc_b").startswith("b:")

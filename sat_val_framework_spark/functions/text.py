@@ -200,22 +200,24 @@ def repetition_profile(
     total bigrams). Degenerate generated/boilerplate text scores high on
     both; a downstream training_filter thresholds them.
 
-    Scale shape: bigrams explode to one row each, then ONE two-level
-    hash-agg — (doc, bigram) counts partial-aggregate map-side, the
-    per-doc max is a second tiny agg keyed by doc — and the token-level
-    stats are pure array expressions with no explode at all. Token-less
-    and NULL docs get NULL fractions (undefined, not 0 — the callers'
-    NULL-handling decides)."""
+    Scale shape: ONE scan — dup_word_frac rides the bigram rows through
+    the (doc, bigram) partial hash-agg as a constant-per-doc column
+    (``first`` in both agg levels), so there is no second tokenize pass
+    and no join-back (the two-consumer double-scan shape PLANS.md measured
+    at −7.6% in fused Pass C). ``explode_outer`` keeps docs with no
+    bigrams. Token-less and NULL docs get NULL fractions (undefined, not
+    0 — the callers' NULL-handling decides)."""
     toks = tokens_col(F.col(text_col))
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.when(F.size(toks) > 0, 1.0 - F.size(F.array_distinct(toks)) / F.size(toks))
-        .alias("dup_word_frac"),
+        .alias("__dwf"),
         toks.alias("__toks"),
     )
-    bi = base.select(
+    rows = base.select(
         "doc_id",
-        F.explode(
+        "__dwf",
+        F.explode_outer(
             F.when(
                 F.size("__toks") >= 2,
                 F.transform(
@@ -225,16 +227,15 @@ def repetition_profile(
             )
         ).alias("bigram"),
     )
-    per_big = bi.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
-    per_doc = per_big.groupBy("doc_id").agg(
-        F.max("c").alias("top_c"), F.sum("c").alias("n_bigrams")
+    per_big = rows.groupBy("doc_id", "bigram").agg(
+        F.count(F.lit(1)).alias("c"), F.first("__dwf").alias("__dwf")
     )
-    return (
-        base.select("doc_id", "dup_word_frac")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.round("dup_word_frac", 6).alias("dup_word_frac"),
-            F.round(F.col("top_c") / F.col("n_bigrams"), 6).alias("top_bigram_frac"),
-        )
+    has_big = F.col("bigram").isNotNull()
+    return per_big.groupBy("doc_id").agg(
+        F.round(F.first("__dwf"), 6).alias("dup_word_frac"),
+        F.round(
+            F.max(F.when(has_big, F.col("c")))
+            / F.sum(F.when(has_big, F.col("c"))),
+            6,
+        ).alias("top_bigram_frac"),
     )

@@ -441,12 +441,20 @@ def orphan_data_dirs(table_dir: str) -> list[str]:
     (manifest file lists vs a directory listing); no Spark job. Run only
     while no write is in flight: a writer that has staged but not yet
     published looks exactly like an orphan (Iceberg's remove_orphan_files
-    has the same caveat and solves it with a retention interval)."""
+    has the same caveat and solves it with a retention interval).
+
+    Paths are realpath-normalized on BOTH sides before comparing: manifests
+    store whatever spelling the writer used (relative, './', symlinked),
+    and a raw string comparison against a fresh glob would classify every
+    PUBLISHED dir as an orphan when the janitor is invoked with a different
+    spelling of table_dir — deleting the whole table (review finding)."""
     referenced = {
-        os.path.dirname(f) for m in _manifests(table_dir) for f in m["files"]
+        os.path.realpath(os.path.dirname(f))
+        for m in _manifests(table_dir)
+        for f in m["files"]
     }
     all_dirs = sorted(glob.glob(os.path.join(table_dir, "data", "*")))
-    return [d for d in all_dirs if d not in referenced]
+    return [d for d in all_dirs if os.path.realpath(d) not in referenced]
 
 
 def remove_orphan_dirs(table_dir: str) -> list[str]:
@@ -467,18 +475,39 @@ def expire_snapshots(table_dir: str, keep_last: int) -> dict:
     (files shared with surviving snapshots — append lineage — are kept).
     Returns {'expired': [snapshot_ids], 'removed_dirs': [...]}. This is the
     retention knob that bounds time-travel storage on a lake where every
-    compaction/overwrite would otherwise keep dead files forever."""
+    compaction/overwrite would otherwise keep dead files forever.
+
+    Same in-flight caveat as ``orphan_data_dirs`` (which this calls): run
+    only while no write is staging, or a not-yet-published stage is
+    reclaimed out from under its writer.
+
+    The oldest SURVIVING manifest's ``parent`` pointer is rewritten to null
+    when its parent was expired — otherwise every parent-following consumer
+    (added_files / read_increment / schema_diff defaults) would crash on a
+    dangling snapshot id; with a null parent they treat the survivor as the
+    first available snapshot, which after retention it is."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     ms = _manifests(table_dir)
     expired = ms[:-keep_last]
     if not expired:
         return {"expired": [], "removed_dirs": []}
+    expired_ids = {m["snapshot_id"] for m in expired}
     for m in expired:
         path = os.path.join(
             _manifest_dir(table_dir), f"{m['seq']:08d}-{m['snapshot_id']}.json"
         )
         os.remove(path)
+    oldest = ms[-keep_last]
+    if oldest.get("parent") in expired_ids:
+        oldest = dict(oldest, parent=None)
+        path = os.path.join(
+            _manifest_dir(table_dir), f"{oldest['seq']:08d}-{oldest['snapshot_id']}.json"
+        )
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(oldest, f)
+        os.replace(tmp, path)
     return {
         "expired": [m["snapshot_id"] for m in expired],
         "removed_dirs": remove_orphan_dirs(table_dir),

@@ -243,3 +243,21 @@ def test_cross_contamination_finds_only_cross_pairs(spark):
            for r in dedup.cross_contamination(train, evalset, threshold=0.5).collect()}
     assert set(got) == {("1", "10"), ("2", "10")}
     assert all(j == 1.0 for j in got.values())
+
+
+def test_cross_contamination_ignores_tokenless_docs(spark):
+    """Empty/NULL/whitespace docs must not pair up: the shingle sentinel
+    would give them all identical signatures -> a quadratic clique of
+    jaccard-1.0 false positives. They can't leak content, so they are
+    dropped before signing."""
+    train = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "   "), (4, "real shared sentence of training text")],
+        ["doc_id", "text"],
+    )
+    evalset = spark.createDataFrame(
+        [(10, ""), (11, None), (12, "real shared sentence of training text")],
+        ["doc_id", "text"],
+    )
+    got = {(r["a_id"], r["b_id"]) for r in
+           dedup.cross_contamination(train, evalset, threshold=0.5).collect()}
+    assert got == {("4", "12")}  # only the genuine leak; no empty-empty pairs

@@ -507,3 +507,43 @@ def test_janitor_removes_only_unreferenced_data(spark, tmp_path):
     assert out2["expired"] == [s2] and len(out2["removed_dirs"]) == 2  # s1+s2 data dirs
     assert read_snapshot(spark, tbl).count() == 50
     assert [s["snapshot_id"] for s in snapshots(tbl)] == [s3]
+
+
+def test_janitor_path_spelling_and_expire_parent_repair(spark, tmp_path):
+    """(1) The janitor must not classify published dirs as orphans when
+    invoked with a different spelling of table_dir than the writer used
+    (realpath normalization). (2) After expire_snapshots removes a
+    survivor's parent, the parent-following APIs (added_files, schema_diff,
+    validate-increment planning) must keep working instead of crashing on
+    a dangling snapshot id."""
+    import os
+
+    from sat_val_framework_spark.sources.snapshots import (
+        added_files,
+        expire_snapshots,
+        orphan_data_dirs,
+        read_snapshot,
+        schema_diff,
+        write_snapshot,
+    )
+
+    # write with a relative spelling, janitor with the absolute one
+    rel = os.path.relpath(str(tmp_path / "spell_tbl"))
+    write_snapshot(spark.range(20).select(F.col("id").alias("k")), rel)
+    assert orphan_data_dirs(str(tmp_path / "spell_tbl")) == []
+
+    tbl = str(tmp_path / "expire_tbl")
+    write_snapshot(spark.range(10).select(F.col("id").alias("k")), tbl)
+    s2 = write_snapshot(spark.range(10, 30).select(F.col("id").alias("k")), tbl, mode="append")
+    expire_snapshots(tbl, keep_last=1)
+    # survivor's parent was expired -> repaired to None: added_files treats
+    # it as the first available snapshot (ALL its files), schema_diff raises
+    # the documented clear error instead of FileNotFoundError
+    # the survivor is now the FIRST available snapshot, so added_files
+    # reports its whole file list (the documented first-snapshot behavior)
+    assert len(added_files(tbl)) == len(read_snapshot(spark, tbl, s2).inputFiles()) > 0
+    import pytest
+
+    with pytest.raises(ValueError, match="no parent"):
+        schema_diff(tbl)
+    assert read_snapshot(spark, tbl, s2).count() == 30
