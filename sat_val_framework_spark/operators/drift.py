@@ -60,7 +60,14 @@ def histogram(
 
 def baseline_edges(baseline: DataFrame, col_name: str) -> tuple[float, float, int]:
     """Derive (lo0, width, n_bins) from the baseline_stats rows for one
-    column. Tiny dimension table — driver-side collect is the right call."""
+    column. Tiny dimension table — driver-side collect is the right call.
+
+    SPARSE baselines are legal: a baseline built from an empirical
+    histogram naturally omits empty bins, so the grid is anchored from the
+    first present row (lo0 = its bin_lo minus bin_id widths) and n_bins
+    comes from the LARGEST bin_id, not the row count — `len(rows)` on a
+    sparse baseline undercounted the support and made drift_scores index
+    out of bounds (found driving an events.value baseline)."""
     rows = (
         baseline.filter(F.col("col_name") == col_name)
         .select("bin_id", "bin_lo", "bin_hi")
@@ -69,9 +76,9 @@ def baseline_edges(baseline: DataFrame, col_name: str) -> tuple[float, float, in
     )
     if not rows:
         raise ValueError(f"no baseline_stats rows for column '{col_name}'")
-    lo0 = rows[0]["bin_lo"]
     width = rows[0]["bin_hi"] - rows[0]["bin_lo"]
-    return (lo0, width, len(rows))
+    lo0 = rows[0]["bin_lo"] - rows[0]["bin_id"] * width
+    return (lo0, width, rows[-1]["bin_id"] + 1)
 
 
 def drift_scores(

@@ -72,9 +72,17 @@ class RunResult:
 
 
 def _series_for(docs: DataFrame, column: str, part_col: str) -> DataFrame:
-    if column not in _SERIES:
-        raise ValueError(f"no series derivation for drift column '{column}'")
-    return _SERIES[column](docs, part_col)
+    """Series frame (part_id, value) for a drift column: a registered
+    derived series (n_spans/text_len) or, as the general case, any
+    top-level numeric column cast to double — drift checks are not limited
+    to the two derived columns (the baseline must carry matching bin edges
+    for the column either way; suite.validate already resolved it against
+    the schema)."""
+    if column in _SERIES:
+        return _SERIES[column](docs, part_col)
+    if column in docs.schema.fieldNames():
+        return docs.select(part_col, F.col(column).cast("double").alias("value"))
+    raise ValueError(f"no series derivation for drift column '{column}'")
 
 
 def run_suite(

@@ -121,3 +121,43 @@ def test_kl_matches_numpy_oracle_and_suite_check(spark, docs, baseline, catalog)
     v = run_suite(spark, docs, suite, baseline=baseline).verdicts.toPandas()
     assert set(v.constraint_id) == {"drift_kl:n_spans"}
     assert set(v[v.status == "FAIL"].part_id) == {fx.DRIFT_PART}
+
+
+def test_drift_on_arbitrary_numeric_column(spark, baseline):
+    """Drift checks are not limited to the derived n_spans/text_len series:
+    any top-level numeric column works, with the caller supplying matching
+    baseline bin edges. Here a plain 'score' column drifts in one
+    partition and only that partition fails."""
+    import numpy as np
+
+    from sat_val_framework_spark.runner import run_suite
+    from sat_val_framework_spark.suite import Check, CheckSuite
+
+    rows = [(i % 4, float(i % 10) + (4.0 if i % 4 == 2 else 0.0))
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, ["part_id", "score"])
+    # baseline = the un-drifted distribution (uniform over bins 0..9);
+    # edges span 14 unit bins so the drifted values stay in-domain
+    base = spark.createDataFrame(
+        [("score", b, float(b), float(b + 1), 0.1 if b < 10 else 0.0) for b in range(14)],
+        ["col_name", "bin_id", "bin_lo", "bin_hi", "ref_frac"],
+    )
+    suite = CheckSuite([Check("drift_ks", "score", {"threshold": 0.3})])
+    v = run_suite(spark, df, suite, baseline=base).verdicts.toPandas()
+    assert set(v.constraint_id) == {"drift_ks:score"}
+    assert set(v[v.status == "FAIL"].part_id) == {2}
+    assert int(np.sum(v.status == "PASS")) == 3
+
+
+def test_baseline_edges_sparse_baseline(spark):
+    """Empirical baselines omit empty bins; the grid must anchor from the
+    first PRESENT row and size from the largest bin_id (len(rows)
+    undercounted the support and crashed drift_scores)."""
+    from sat_val_framework_spark.operators.drift import baseline_edges
+
+    base = spark.createDataFrame(
+        [("c", 3, 60.0, 80.0, 0.5), ("c", 24, 480.0, 500.0, 0.5)],
+        ["col_name", "bin_id", "bin_lo", "bin_hi", "ref_frac"],
+    )
+    lo0, width, n_bins = baseline_edges(base, "c")
+    assert (lo0, width, n_bins) == (0.0, 20.0, 25)
