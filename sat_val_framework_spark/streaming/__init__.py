@@ -1,3 +1,4 @@
+from sat_val_framework_spark.streaming.contamination_stream import streaming_contamination
 from sat_val_framework_spark.streaming.dedup_stream import streaming_dedup
 from sat_val_framework_spark.streaming.drift_stream import streaming_drift
 from sat_val_framework_spark.streaming.profile_stream import streaming_profile
@@ -11,4 +12,5 @@ __all__ = [
     "streaming_drift",
     "streaming_sessionize",
     "streaming_profile",
+    "streaming_contamination",
 ]

@@ -1,0 +1,53 @@
+"""Streaming contamination monitoring: each micro-batch of incoming
+documents is checked for near-duplicates AGAINST A STATIC REFERENCE CORPUS
+(the held-out eval set) — the guard a training-data ingest pipeline runs
+continuously so benchmark leaks are caught at ingest time, not at the next
+full-corpus sweep.
+
+``foreachBatch`` reuses the batch ``cross_contamination`` composition
+verbatim (batch = side a, reference = side b): one code path, one
+threshold semantics; hit pairs (+ epoch_id) append to the same parquet
+sink shape as the other streaming monitors. The reference corpus is a
+bounded DataFrame re-used across batches — at scale, persist it (its
+signatures are recomputed per batch otherwise; for a large reference,
+pre-compute signatures once and pass a custom matcher instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from sat_val_framework_spark.functions.dedup import cross_contamination
+
+
+def streaming_contamination(
+    spark: SparkSession,
+    input_path: str,
+    reference: DataFrame,
+    sink_path: str,
+    schema,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_files: int = 4,
+) -> StreamingQuery:
+    """Check each micro-batch against ``reference``; contaminated pairs
+    (incoming a_id, reference b_id, jaccard, epoch_id) append to
+    ``sink_path``. A batch with no hits appends nothing."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_path)
+    )
+
+    def score_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hits = cross_contamination(
+            batch_df, reference, threshold=threshold, text_col=text_col, id_col=id_col
+        )
+        hits.withColumn("epoch_id", F.lit(epoch_id)).write.mode("append").parquet(sink_path)
+
+    return stream.writeStream.foreachBatch(score_batch).start()

@@ -218,3 +218,37 @@ def test_streaming_profile_matches_batch_and_catches_degeneracy(spark, stream_di
     rows2 = spark.read.parquet(sink2).collect()
     assert rows2 and all(r["status"] == "FAIL" for r in rows2)
     assert all(any(s.startswith("top_share=1.0>") for s in r["sample_violations"]) for r in rows2)
+
+
+def test_streaming_contamination_catches_leak_per_epoch(spark, tmp_path):
+    """A leaked reference doc arriving mid-stream is flagged in its own
+    micro-batch; clean batches append nothing; semantics == the batch
+    cross_contamination composition."""
+    from sat_val_framework_spark.streaming import streaming_contamination
+
+    schema = "doc_id long, text string"
+    reference = spark.createDataFrame(
+        [(900, "held out benchmark question about rivers and mountains"),
+         (901, "another eval item regarding oceans and tides today")],
+        schema,
+    )
+    src = str(tmp_path / "incoming")
+    clean = spark.createDataFrame(
+        [(1, "ordinary web document about cooking pasta at home"),
+         (2, "release notes for a software project version two")], schema)
+    leaky = spark.createDataFrame(
+        [(3, "held out benchmark question about rivers and mountains"),
+         (4, "yet another unremarkable training document here")], schema)
+    clean.coalesce(1).write.mode("append").parquet(src)
+    leaky.coalesce(1).write.mode("append").parquet(src)
+
+    sink = str(tmp_path / "contamination_sink")
+    q = streaming_contamination(
+        spark, src, reference, sink, spark.createDataFrame([], schema).schema,
+        threshold=0.8, max_files=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.read.parquet(sink).collect()
+    assert [(r["a_id"], r["b_id"]) for r in rows] == [("3", "900")]
+    assert rows[0]["jaccard"] == 1.0
