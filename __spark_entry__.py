@@ -1301,11 +1301,14 @@ def oracle_sql() -> dict[str, str]:
         # restricted to (even, odd) doc_id pairs (the parity split)
         "contamination": f"""
             WITH {_LSH_CTES},
+            nonempty AS (SELECT doc_id FROM toks WHERE len(t) > 0),
             cands AS (
                 SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
                 FROM bands a JOIN bands b
                   ON a.band_id = b.band_id AND a.band_key = b.band_key
-                 AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+                 AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+                JOIN nonempty na ON na.doc_id = a.doc_id
+                JOIN nonempty nb ON nb.doc_id = b.doc_id),
             shd AS (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS shingle FROM toks),
             sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shd GROUP BY doc_id),
             inter AS (SELECT c.a_id, c.b_id, count(*) AS n_inter

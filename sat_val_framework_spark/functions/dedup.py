@@ -530,11 +530,12 @@ def cross_contamination(
     # shingle sentinel would give them ALL identical signatures, so every
     # empty doc on side a would pair with every empty doc on side b — a
     # quadratic clique of jaccard-1.0 false "contamination" (review
-    # finding). An empty doc cannot leak content by definition.
+    # finding). The filter uses the TOKENIZER's own emptiness definition
+    # (size(tokens) > 0, splitting on \s+) — a trim()-based check strips
+    # only the space character and lets tab/newline-only docs through
+    # (second review finding). An empty doc cannot leak content.
     def _side(df: DataFrame, tag: str) -> DataFrame:
-        return df.where(
-            F.coalesce(F.trim(F.col(text_col)), F.lit("")) != ""
-        ).select(
+        return df.where(F.size(tokens_col(F.col(text_col))) > 0).select(
             F.concat(F.lit(tag), F.col(id_col).cast("string")).alias(id_col),
             F.col(text_col),
         )

@@ -103,12 +103,16 @@ def _baseline_pd(baseline) -> pd.DataFrame:
 
 
 def _edges_pd(bpd: pd.DataFrame, col_name: str) -> tuple[float, float, int]:
+    # sparse-baseline-safe like operators.drift.baseline_edges: anchor lo0
+    # from the first PRESENT row, size from the largest bin_id (len(rows)
+    # on an empirical baseline that omits empty bins undercounts the
+    # support and would index out of bounds in _ref_vector_pd)
     rows = bpd[bpd.col_name == col_name].sort_values("bin_id")
     if rows.empty:
         raise ValueError(f"no baseline_stats rows for column '{col_name}'")
-    lo0 = float(rows.bin_lo.iloc[0])
     width = float(rows.bin_hi.iloc[0] - rows.bin_lo.iloc[0])
-    return lo0, width, len(rows)
+    lo0 = float(rows.bin_lo.iloc[0]) - int(rows.bin_id.iloc[0]) * width
+    return lo0, width, int(rows.bin_id.iloc[-1]) + 1
 
 
 def _ref_vector_pd(bpd: pd.DataFrame, col_name: str, n_bins: int) -> np.ndarray:

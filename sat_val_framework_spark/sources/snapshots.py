@@ -443,18 +443,20 @@ def orphan_data_dirs(table_dir: str) -> list[str]:
     published looks exactly like an orphan (Iceberg's remove_orphan_files
     has the same caveat and solves it with a retention interval).
 
-    Paths are realpath-normalized on BOTH sides before comparing: manifests
-    store whatever spelling the writer used (relative, './', symlinked),
-    and a raw string comparison against a fresh glob would classify every
-    PUBLISHED dir as an orphan when the janitor is invoked with a different
-    spelling of table_dir — deleting the whole table (review finding)."""
+    Comparison is by data-dir BASENAME (the uuid segment), not by full
+    path: manifests store whatever spelling the writer's cwd produced
+    (relative, './', symlinked), so any full-path comparison — raw or
+    realpath'd — misclassifies every PUBLISHED dir as an orphan when the
+    janitor runs with a different spelling or from a different cwd,
+    deleting the whole table (review findings, twice). The uuid dir name
+    is spelling- and cwd-independent and collision-free by construction."""
     referenced = {
-        os.path.realpath(os.path.dirname(f))
+        os.path.basename(os.path.dirname(f))
         for m in _manifests(table_dir)
         for f in m["files"]
     }
     all_dirs = sorted(glob.glob(os.path.join(table_dir, "data", "*")))
-    return [d for d in all_dirs if os.path.realpath(d) not in referenced]
+    return [d for d in all_dirs if os.path.basename(d) not in referenced]
 
 
 def remove_orphan_dirs(table_dir: str) -> list[str]:
@@ -493,11 +495,11 @@ def expire_snapshots(table_dir: str, keep_last: int) -> dict:
     if not expired:
         return {"expired": [], "removed_dirs": []}
     expired_ids = {m["snapshot_id"] for m in expired}
-    for m in expired:
-        path = os.path.join(
-            _manifest_dir(table_dir), f"{m['seq']:08d}-{m['snapshot_id']}.json"
-        )
-        os.remove(path)
+    # repair the survivor's parent BEFORE removing expired manifests: a
+    # crash between the two steps then leaves a fully-consistent table
+    # either way (repair-then-crash: all manifests intact, re-run expires
+    # again with the repair a no-op; the reverse order would strand a
+    # dangling parent forever, because the re-run early-returns above)
     oldest = ms[-keep_last]
     if oldest.get("parent") in expired_ids:
         oldest = dict(oldest, parent=None)
@@ -508,6 +510,11 @@ def expire_snapshots(table_dir: str, keep_last: int) -> dict:
         with open(tmp, "w") as f:
             json.dump(oldest, f)
         os.replace(tmp, path)
+    for m in expired:
+        path = os.path.join(
+            _manifest_dir(table_dir), f"{m['seq']:08d}-{m['snapshot_id']}.json"
+        )
+        os.remove(path)
     return {
         "expired": [m["snapshot_id"] for m in expired],
         "removed_dirs": remove_orphan_dirs(table_dir),

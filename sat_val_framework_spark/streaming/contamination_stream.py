@@ -4,22 +4,23 @@ documents is checked for near-duplicates AGAINST A STATIC REFERENCE CORPUS
 continuously so benchmark leaks are caught at ingest time, not at the next
 full-corpus sweep.
 
-``foreachBatch`` reuses the batch ``cross_contamination`` composition
-verbatim (batch = side a, reference = side b): one code path, one
-threshold semantics; hit pairs (+ epoch_id) append to the same parquet
-sink shape as the other streaming monitors. The reference corpus is a
-bounded DataFrame re-used across batches — at scale, persist it (its
-signatures are recomputed per batch otherwise; for a large reference,
-pre-compute signatures once and pass a custom matcher instead).
+The shared ``file_monitor`` scaffold reuses the batch
+``cross_contamination`` composition verbatim (batch = side a, reference =
+side b): one code path, one threshold semantics; hit pairs (+ epoch_id)
+append to the same parquet sink shape as the other streaming monitors.
+The reference corpus is a bounded DataFrame re-used across batches — at
+scale, persist it (its signatures are recomputed per batch otherwise; for
+a large reference, pre-compute signatures once and pass a custom matcher
+instead).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from sat_val_framework_spark.functions.dedup import cross_contamination
+from sat_val_framework_spark.streaming._monitor import file_monitor
 
 
 def streaming_contamination(
@@ -36,18 +37,13 @@ def streaming_contamination(
     """Check each micro-batch against ``reference``; contaminated pairs
     (incoming a_id, reference b_id, jaccard, epoch_id) append to
     ``sink_path``. A batch with no hits appends nothing."""
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files)
-        .parquet(input_path)
+    return file_monitor(
+        spark,
+        input_path,
+        schema,
+        sink_path,
+        lambda batch: cross_contamination(
+            batch, reference, threshold=threshold, text_col=text_col, id_col=id_col
+        ),
+        max_files=max_files,
     )
-
-    def score_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        hits = cross_contamination(
-            batch_df, reference, threshold=threshold, text_col=text_col, id_col=id_col
-        )
-        hits.withColumn("epoch_id", F.lit(epoch_id)).write.mode("append").parquet(sink_path)
-
-    return stream.writeStream.foreachBatch(score_batch).start()

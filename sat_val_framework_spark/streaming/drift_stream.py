@@ -1,21 +1,22 @@
-"""Streaming drift monitoring: per-micro-batch KS/PSI vs the fixed baseline.
+"""Streaming drift monitoring: per-micro-batch KS/PSI/EMD vs the fixed
+baseline.
 
 Late-arriving data can drift long after the batch validation ran; this
 operator re-expresses B7/B8 over an unbounded source. Each micro-batch's
 per-partition histograms are scored against the same analytic baseline via
-``foreachBatch`` reusing the batch drift kernel — one code path for both
-modes, verdicts appended to the same parquet sink shape.
+the shared ``file_monitor`` scaffold reusing the batch drift kernel — one
+code path for both modes, verdicts appended to the same parquet sink shape.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from sat_val_framework_spark import profile
 from sat_val_framework_spark.fixtures import DOCUMENTS_SCHEMA
 from sat_val_framework_spark.operators.drift import drift_check
+from sat_val_framework_spark.streaming._monitor import file_monitor
 
 
 def streaming_drift(
@@ -36,18 +37,11 @@ def streaming_drift(
     selects which of the kernel's siblings (ks/psi/emd) emit verdicts,
     exactly as in the batch ``drift_check`` — all come from the same
     single-pass histogram either way."""
-    stream = (
-        spark.readStream.schema(DOCUMENTS_SCHEMA)
-        .option("maxFilesPerTrigger", max_files)
-        .parquet(input_path)
-    )
     series_fn = {"n_spans": profile.n_spans_series, "text_len": profile.text_len_series}[column]
 
-    def score_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+    def score(batch: DataFrame) -> DataFrame:
         verdicts, _scores = drift_check(
-            series_fn(batch_df),
+            series_fn(batch),
             baseline,
             column,
             ks_threshold=ks_threshold,
@@ -55,6 +49,6 @@ def streaming_drift(
             emd_threshold=emd_threshold,
             stats=stats,
         )
-        verdicts.withColumn("epoch_id", F.lit(epoch_id)).write.mode("append").parquet(sink_path)
+        return verdicts
 
-    return stream.writeStream.foreachBatch(score_batch).start()
+    return file_monitor(spark, input_path, DOCUMENTS_SCHEMA, sink_path, score, max_files)

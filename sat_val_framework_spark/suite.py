@@ -123,6 +123,21 @@ class CheckSuite:
                         errors.append(
                             SuiteConfigError(f"{c.constraint_id}: column '{col}' not in schema")
                         )
+                    elif (
+                        c.kind.startswith("drift_")
+                        and col not in derived
+                        and not isinstance(_field_type(schema, col), T.NumericType)
+                    ):
+                        # drift now accepts arbitrary columns; a string
+                        # column would fail mid-job (ANSI cast raise -> a
+                        # retryable ERROR verdict that re-runs forever on
+                        # resume) — reject it driver-side instead
+                        errors.append(
+                            SuiteConfigError(
+                                f"{c.constraint_id}: drift column '{col}' must be numeric, "
+                                f"got {_field_type(schema, col).simpleString()}"
+                            )
+                        )
             if c.kind == "fd":
                 from sat_val_framework_spark.operators.uniqueness import parse_fd_spec
 

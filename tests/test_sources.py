@@ -536,11 +536,9 @@ def test_janitor_path_spelling_and_expire_parent_repair(spark, tmp_path):
     write_snapshot(spark.range(10).select(F.col("id").alias("k")), tbl)
     s2 = write_snapshot(spark.range(10, 30).select(F.col("id").alias("k")), tbl, mode="append")
     expire_snapshots(tbl, keep_last=1)
-    # survivor's parent was expired -> repaired to None: added_files treats
-    # it as the first available snapshot (ALL its files), schema_diff raises
-    # the documented clear error instead of FileNotFoundError
-    # the survivor is now the FIRST available snapshot, so added_files
-    # reports its whole file list (the documented first-snapshot behavior)
+    # the survivor's expired parent is repaired to None, so added_files
+    # reports its whole file list (first-snapshot behavior) and schema_diff
+    # raises the documented clear error instead of FileNotFoundError
     assert len(added_files(tbl)) == len(read_snapshot(spark, tbl, s2).inputFiles()) > 0
     import pytest
 

@@ -75,3 +75,12 @@ def test_from_json_numeric_column_surfaces_as_config_error(spark, docs):
     s = CheckSuite.from_json('[{"kind": "stats", "column": 5}]')
     errs = s.validate(docs)  # must not crash with AttributeError
     assert len(errs) == 1 and "5" in str(errs[0])
+
+
+def test_drift_on_non_numeric_column_rejected_driver_side(spark, docs):
+    """Drift on a string column would fail mid-job with a RETRYABLE error
+    verdict that re-runs forever on resume — validate rejects it up front."""
+    from sat_val_framework_spark.suite import Check, CheckSuite
+
+    errs = CheckSuite([Check("drift_ks", "doc_id", {"threshold": 0.1})]).validate(docs)
+    assert len(errs) == 1 and "must be numeric" in str(errs[0])
