@@ -265,6 +265,20 @@ def q_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift (operators/drift.py:categorical_drift): per-user-
+    bucket event_type frequencies vs the global distribution — total
+    variation + Jensen-Shannon, the no-order complement of the binned
+    KS/PSI/EMD/KL family. 'drifted' is operator policy, not data — dropped
+    so the oracle compares pure statistics."""
+    from sat_val_framework_spark.operators.drift import categorical_drift
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "bucket", (F.col("user_id") % 10).cast("long")
+    )
+    return categorical_drift(e, "event_type", "bucket").select("grp", "n_rows", "tv", "js")
+
+
 def q_verdict_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B11: errors-as-values — a mini-suite emitting one verdict row per
     (constraint, group), never raising (implement.py:23-56 contract)."""
@@ -909,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_ks": q_drift_ks,
         "drift_emd": q_drift_emd,
         "drift_kl": q_drift_kl,
+        "categorical_drift": q_categorical_drift,
         "verdict_union": q_verdict_union,
         "checkpoint_pending": q_checkpoint_pending,
         "dedup_exact": q_dedup_exact,
@@ -1192,6 +1207,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY grp
         """,
         "drift_ks": _DRIFT_KS_SQL,
+        "categorical_drift": """
+            WITH gv AS (SELECT user_id % 10 AS grp,
+                               coalesce(event_type, '<NULL>') AS value,
+                               count(*) AS c
+                        FROM events GROUP BY 1, 2),
+            tot AS (SELECT grp, sum(c) AS t FROM gv GROUP BY 1),
+            gfreq AS (SELECT value, sum(c) AS g FROM gv GROUP BY 1),
+            n AS (SELECT sum(g) AS n_all FROM gfreq),
+            full_f AS (SELECT tot.grp, tot.t,
+                              coalesce(gv.c, 0) * 1.0 / tot.t AS p,
+                              gfreq.g * 1.0 / n.n_all AS q
+                       FROM tot CROSS JOIN gfreq CROSS JOIN n
+                       LEFT JOIN gv ON gv.grp = tot.grp AND gv.value = gfreq.value)
+            SELECT grp,
+                   max(t)::bigint AS n_rows,
+                   round(sum(abs(p - q)) / 2, 6) AS tv,
+                   round(sum((CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END
+                            + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0 END) / 2), 6) AS js
+            FROM full_f GROUP BY grp
+        """,
         "drift_kl": """
             WITH e AS (SELECT event_type,
                               least(floor(value / 20.0), 24)::int AS bin_id

@@ -201,3 +201,56 @@ def drift_check(
     for v in parts[1:]:
         verdicts = verdicts.unionByName(v)
     return verdicts, scores
+
+
+def categorical_drift(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    tv_threshold: float = 0.1,
+) -> DataFrame:
+    """Categorical drift per group vs the GLOBAL category distribution:
+    total-variation distance (half the L1 — the categorical analogue of
+    KS) and Jensen-Shannon divergence (symmetric, bounded by ln 2, defined
+    even where one side has zero mass — no eps clamping needed). The
+    numeric drift family (KS/PSI/EMD/KL) bins ordered values; categories
+    have no order, so these are the right statistics for event types,
+    sources, language codes.
+
+    Scale shape: one hash-agg per (group, value) + one per value (the
+    global frequencies ride a broadcast join onto the group rows), then a
+    per-group re-agg — only distinct (group, value) pairs cross any
+    shuffle. NULL categories count as a category (a surge of NULLs IS
+    drift) — coalesced to a '<NULL>' sentinel BEFORE grouping, because the
+    spine equi-join would silently drop a NULL key (NULL never equi-joins)
+    and overstate every group's drift. Output: one row per group with
+    n_rows, tv, js, drifted."""
+    cat = F.coalesce(F.col(col).cast("string"), F.lit("<NULL>"))
+    gv = df.groupBy(F.col(group_col).alias("grp"), cat.alias("value")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = gv.groupBy("grp").agg(F.sum("c").alias("t"))
+    glob = gv.groupBy("value").agg(F.sum("c").alias("g"))
+    nall = glob.agg(F.sum("g").alias("n_all"))
+    # spine: every (grp, value) pair, so categories ABSENT from a group
+    # still contribute (p=0 vs q>0) — dropping them understates drift
+    spine = totals.crossJoin(F.broadcast(glob)).crossJoin(F.broadcast(nall))
+    full = spine.join(gv, ["grp", "value"], "left").select(
+        "grp",
+        "t",
+        (F.coalesce(F.col("c"), F.lit(0)) / F.col("t")).alias("p"),
+        (F.col("g") / F.col("n_all")).alias("q"),
+    )
+    ln = F.log
+    m = (F.col("p") + F.col("q")) / 2
+    # 0*ln(0/x) terms are 0 by convention: guard with when(p>0)
+    js_term = (
+        F.when(F.col("p") > 0, F.col("p") * ln(F.col("p") / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("q") > 0, F.col("q") * ln(F.col("q") / m)).otherwise(F.lit(0.0))
+    ) / 2
+    return full.groupBy("grp").agg(
+        F.max("t").alias("n_rows"),
+        F.round(F.sum(F.abs(F.col("p") - F.col("q"))) / 2, 6).alias("tv"),
+        F.round(F.sum(js_term), 6).alias("js"),
+        (F.sum(F.abs(F.col("p") - F.col("q"))) / 2 > tv_threshold).alias("drifted"),
+    )

@@ -161,3 +161,43 @@ def test_baseline_edges_sparse_baseline(spark):
     )
     lo0, width, n_bins = baseline_edges(base, "c")
     assert (lo0, width, n_bins) == (0.0, 20.0, 25)
+
+
+def test_categorical_drift_matches_python_oracle(spark):
+    """TV and JS vs an independent python computation, including a group
+    missing a category entirely (the spine keeps p=0 terms), NULLs as a
+    category, and the drifted flag."""
+    import math
+
+    from sat_val_framework_spark.operators.drift import categorical_drift
+
+    rows = (
+        [("g1", "a")] * 50 + [("g1", "b")] * 50
+        + [("g2", "a")] * 90 + [("g2", "b")] * 10      # skewed
+        + [("g3", "a")] * 50 + [("g3", None)] * 50     # NULL category, no 'b'
+    )
+    df = spark.createDataFrame(rows, ["grp", "cat"])
+    got = {r["grp"]: r for r in categorical_drift(df, "cat", "grp", tv_threshold=0.15).collect()}
+
+    counts = {"g1": {"a": 50, "b": 50}, "g2": {"a": 90, "b": 10}, "g3": {"a": 50, "<NULL>": 50}}
+    n_all = 300
+    gl = {"a": 190 / n_all, "b": 60 / n_all, "<NULL>": 50 / n_all}
+    for g, cs in counts.items():
+        t = sum(cs.values())
+        tv = js = 0.0
+        for v, q in gl.items():
+            p = cs.get(v, 0) / t
+            tv += abs(p - q) / 2
+            m = (p + q) / 2
+            js += ((p * math.log(p / m) if p > 0 else 0.0)
+                   + (q * math.log(q / m) if q > 0 else 0.0)) / 2
+        assert got[g]["tv"] == pytest.approx(round(tv, 6), abs=1e-9), g
+        assert got[g]["js"] == pytest.approx(round(js, 6), abs=1e-9), g
+        assert got[g]["n_rows"] == t
+        assert got[g]["drifted"] == (tv > 0.15), g
+    # every group drifts vs the skewed GLOBAL at 0.15 (tv: g2=.2667,
+    # g1=.3, g3=.3333); a 0.31 threshold flags only the worst group —
+    # the policy knob works
+    loose = {r["grp"]: r["drifted"]
+             for r in categorical_drift(df, "cat", "grp", tv_threshold=0.31).collect()}
+    assert loose == {"g1": False, "g2": False, "g3": True}
