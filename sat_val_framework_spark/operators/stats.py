@@ -285,6 +285,69 @@ def profile_check(
     )
 
 
+def quantile_check(
+    df: DataFrame,
+    column: str,
+    part_col: str = "part_id",
+    q: float = 0.5,
+    lo: float | None = None,
+    hi: float | None = None,
+    approx: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Robust-location CONSTRAINT: FAIL a partition whose q-quantile of
+    ``column`` falls outside [lo, hi]. The stats check's min/max bounds
+    catch single outliers; this catches the column's CENTER walking away
+    (unit change, upstream rescale) without tripping on tails — the
+    quantile-profile operator closed into a validation constraint.
+
+    approx=True (default) uses the mergeable percentile_approx sketch —
+    the constraint is a threshold test, so sketch error only matters within
+    its epsilon of the bound and the one-pass O(accuracy)-memory shape is
+    what a 10^12-row suite needs; approx=False switches to the exact
+    sort-based percentile for oracle-grade runs. A partition with zero
+    non-NULL observations gets a typed ERROR (EmptySeriesError), matching
+    the drift family."""
+    if lo is None and hi is None:
+        raise ValueError("quantile_check needs at least one of lo=/hi=")
+    qf = (
+        F.percentile_approx(column, q, accuracy)
+        if approx
+        else F.percentile(F.col(column), F.lit(q))
+    )
+    wide = df.groupBy(F.col(part_col).alias("part_id")).agg(
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.count(column).alias("n_obs"),
+        qf.alias("qv"),
+    )
+    from sat_val_framework_spark.verdicts import ERR_EMPTY_SERIES, ERROR
+
+    breach = F.lit(False)
+    msgs = []
+    if lo is not None:
+        breach = breach | (F.col("qv") < lo)
+        msgs.append(F.when(F.col("qv") < lo, F.format_string(f"q{q}=%s<{lo}", F.col("qv"))))
+    if hi is not None:
+        breach = breach | (F.col("qv") > hi)
+        msgs.append(F.when(F.col("qv") > hi, F.format_string(f"q{q}=%s>{hi}", F.col("qv"))))
+    empty = F.col("n_obs") == 0
+    return wide.select(
+        F.lit(f"quantile:{column}").alias("constraint_id"),
+        F.col("part_id"),
+        F.when(empty, F.lit(ERROR)).when(breach, F.lit(FAIL)).otherwise(F.lit(PASS)).alias(
+            "status"
+        ),
+        F.when(empty, F.lit(ERR_EMPTY_SERIES)).alias("error_kind"),
+        F.col("rows_scanned"),
+        F.when(empty | breach, F.lit(1)).otherwise(F.lit(0)).cast("long").alias(
+            "violation_count"
+        ),
+        F.when(
+            ~empty, F.filter(F.array(*msgs), lambda m: m.isNotNull())
+        ).otherwise(F.array().cast("array<string>")).alias("sample_violations"),
+    )
+
+
 def distribution_entropy(df: DataFrame, col: str, group_col: str) -> DataFrame:
     """Shannon entropy (nats) of a categorical column per group — a scalar
     drift/degeneracy signal (entropy -> 0 = column collapsing). Two chained

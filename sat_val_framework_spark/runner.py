@@ -283,6 +283,23 @@ def run_suite(
             # one shared pass, but each sibling's rows carry its own params
             for sib in siblings.values():
                 emit(out.filter(F.col("constraint_id") == sib.constraint_id), sib.params_json, t0)
+        elif c.kind == "quantile":
+            from sat_val_framework_spark.operators.stats import quantile_check
+
+            scoped, todo = pending_filter(c.constraint_id, profile.with_n_spans(docs))
+            if not todo:
+                skipped.append(c.constraint_id)
+                return
+            out = quantile_check(
+                scoped,
+                c.column,
+                part_col,
+                q=float(c.params.get("q", 0.5)),
+                lo=c.params.get("lo"),
+                hi=c.params.get("hi"),
+                approx=bool(c.params.get("approx", True)),
+            )
+            emit(out, c.params_json, t0)
         elif c.kind == "profile":
             from sat_val_framework_spark.operators.stats import profile_check
 

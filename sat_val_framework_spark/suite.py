@@ -31,6 +31,7 @@ KINDS = frozenset(
                           # entropy / distinct-ratio thresholds)
         "fd",             # functional dependency 'determinant->dependent'
                           # (uniqueness generalized: A3 invariants)
+        "quantile",       # robust-location bound: q-quantile within [lo, hi]
     }
 )
 
@@ -136,6 +137,27 @@ class CheckSuite:
                             SuiteConfigError(
                                 f"{c.constraint_id}: drift column '{col}' must be numeric, "
                                 f"got {_field_type(schema, col).simpleString()}"
+                            )
+                        )
+            if c.kind == "quantile":
+                qv = c.params.get("q", 0.5)
+                if not isinstance(qv, (int, float)) or not 0 < qv < 1:
+                    errors.append(SuiteConfigError(f"{c.constraint_id}: params.q must be in (0,1)"))
+                if c.params.get("lo") is None and c.params.get("hi") is None:
+                    errors.append(
+                        SuiteConfigError(f"{c.constraint_id}: at least one of params.lo/hi required")
+                    )
+                if c.column and c.column not in derived:
+                    ft = _field_type(schema, c.column)
+                    if ft is None:
+                        errors.append(
+                            SuiteConfigError(f"{c.constraint_id}: column '{c.column}' not in schema")
+                        )
+                    elif not isinstance(ft, T.NumericType):
+                        errors.append(
+                            SuiteConfigError(
+                                f"{c.constraint_id}: quantile column '{c.column}' must be "
+                                f"numeric, got {ft.simpleString()}"
                             )
                         )
             if c.kind == "fd":

@@ -160,3 +160,37 @@ def test_quantile_profile_approx_close_and_null_handling(spark):
     assert exact["n_values"] == approx["n_values"] == 1000
     for col in ("q25", "q50", "q75"):
         assert abs(exact[col] - approx[col]) <= 2.0, col
+
+
+def test_quantile_check_constraint_through_suite(spark, docs, catalog):
+    """quantile kind end-to-end: the fixture's n_spans median sits in
+    [1, 12] everywhere except the drifted partition (+4 shift); an
+    all-NULL-spans partition gets a typed EmptySeriesError like drift."""
+    from pyspark.sql import functions as F
+
+    from sat_val_framework_spark import fixtures as fx
+    from sat_val_framework_spark.runner import run_suite
+    from sat_val_framework_spark.suite import Check, CheckSuite
+
+    suite = CheckSuite([Check("quantile", "n_spans", {"q": 0.5, "lo": 1, "hi": 8})])
+    v = run_suite(spark, docs, suite).verdicts.toPandas()
+    assert set(v.constraint_id) == {"quantile:n_spans"}
+    assert set(v[v.status == "FAIL"].part_id) == {fx.DRIFT_PART}
+    sample = v[v.part_id == fx.DRIFT_PART].sample_violations.iloc[0]
+    assert any(s.startswith("q0.5=") and ">8" in s for s in sample)
+
+    # all-NULL partition -> typed ERROR, not a silent pass
+    docs2 = docs.withColumn(
+        "spans",
+        F.when(F.col("part_id") == 2, F.lit(None).cast(fx.DOCUMENTS_SCHEMA["spans"].dataType))
+        .otherwise(F.col("spans")),
+    )
+    v2 = run_suite(spark, docs2, suite).verdicts.toPandas()
+    row = v2[v2.part_id == 2].iloc[0]
+    assert row.status == "ERROR" and row.error_kind == "EmptySeriesError"
+
+    # config errors: missing bounds, bad q, non-numeric column
+    errs = CheckSuite([Check("quantile", "n_spans", {})]).validate(docs)
+    assert len(errs) == 1 and "lo/hi" in str(errs[0])
+    errs = CheckSuite([Check("quantile", "doc_id", {"hi": 5})]).validate(docs)
+    assert len(errs) == 1 and "must be numeric" in str(errs[0])
