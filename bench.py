@@ -70,6 +70,7 @@ HEADLINE = [
     "pii_redact",
     "drift_kl",
     "repetition",
+    "categorical_drift",
 ]
 
 
