@@ -1219,7 +1219,8 @@ def oracle_sql() -> dict[str, str]:
                               coalesce(gv.c, 0) * 1.0 / tot.t AS p,
                               gfreq.g * 1.0 / n.n_all AS q
                        FROM tot CROSS JOIN gfreq CROSS JOIN n
-                       LEFT JOIN gv ON gv.grp = tot.grp AND gv.value = gfreq.value)
+                       LEFT JOIN gv ON gv.grp IS NOT DISTINCT FROM tot.grp
+                                   AND gv.value = gfreq.value)
             SELECT grp,
                    max(t)::bigint AS n_rows,
                    round(sum(abs(p - q)) / 2, 6) AS tv,

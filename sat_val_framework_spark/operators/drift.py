@@ -233,9 +233,21 @@ def categorical_drift(
     glob = gv.groupBy("value").agg(F.sum("c").alias("g"))
     nall = glob.agg(F.sum("g").alias("n_all"))
     # spine: every (grp, value) pair, so categories ABSENT from a group
-    # still contribute (p=0 vs q>0) — dropping them understates drift
+    # still contribute (p=0 vs q>0) — dropping them understates drift.
+    # NULL-SAFE join on grp: the GROUP key can be NULL too (source/language
+    # grouping columns), and a plain equi-join would match none of the NULL
+    # group's categories, reporting near-maximal drift for it regardless of
+    # its actual distribution (review finding, reproduced: tv=0.5 for a
+    # group identical to the global mix)
     spine = totals.crossJoin(F.broadcast(glob)).crossJoin(F.broadcast(nall))
-    full = spine.join(gv, ["grp", "value"], "left").select(
+    gvr = gv.select(
+        F.col("grp").alias("__g"), F.col("value").alias("__v"), F.col("c")
+    )
+    full = spine.join(
+        gvr,
+        spine["grp"].eqNullSafe(gvr["__g"]) & (spine["value"] == gvr["__v"]),
+        "left",
+    ).select(
         "grp",
         "t",
         (F.coalesce(F.col("c"), F.lit(0)) / F.col("t")).alias("p"),

@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from sat_val_framework_spark.verdicts import (
+    ERR_EMPTY_SERIES,
+    ERROR,
     FAIL,
     PASS,
     bounded_samples,
@@ -188,8 +190,6 @@ def profile_verdicts_from_wide(
     n_obs = non-null observations; a partition with zero observations gets
     a typed EmptySeriesError verdict (profile of nothing is undefined —
     same errors-as-values semantics as drift)."""
-    from sat_val_framework_spark.verdicts import ERR_EMPTY_SERIES, ERROR
-
     top_share = F.col("top_n") / F.col("n_obs")
     entropy = F.log(F.col("n_obs")) - F.col("clogc") / F.col("n_obs")
     ratio = F.col("n_distinct") / F.col("n_obs")
@@ -320,8 +320,6 @@ def quantile_check(
         F.count(column).alias("n_obs"),
         qf.alias("qv"),
     )
-    from sat_val_framework_spark.verdicts import ERR_EMPTY_SERIES, ERROR
-
     breach = F.lit(False)
     msgs = []
     if lo is not None:

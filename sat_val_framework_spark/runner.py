@@ -298,6 +298,7 @@ def run_suite(
                 lo=c.params.get("lo"),
                 hi=c.params.get("hi"),
                 approx=bool(c.params.get("approx", True)),
+                accuracy=int(c.params.get("accuracy", 10_000)),
             )
             emit(out, c.params_json, t0)
         elif c.kind == "profile":

@@ -143,11 +143,40 @@ class CheckSuite:
                 qv = c.params.get("q", 0.5)
                 if not isinstance(qv, (int, float)) or not 0 < qv < 1:
                     errors.append(SuiteConfigError(f"{c.constraint_id}: params.q must be in (0,1)"))
-                if c.params.get("lo") is None and c.params.get("hi") is None:
+                lo, hi = c.params.get("lo"), c.params.get("hi")
+                if lo is None and hi is None:
                     errors.append(
                         SuiteConfigError(f"{c.constraint_id}: at least one of params.lo/hi required")
                     )
-                if c.column and c.column not in derived:
+                for name, b in (("lo", lo), ("hi", hi)):
+                    # a string bound would either raise mid-job (ANSI cast,
+                    # retried forever) or NULL out the breach test (silent
+                    # all-PASS) — reject it eagerly
+                    if b is not None and not isinstance(b, (int, float)):
+                        errors.append(
+                            SuiteConfigError(f"{c.constraint_id}: params.{name} must be numeric")
+                        )
+                if c.column and "." in c.column:
+                    # dotted columns break constraint-id parity (the operator
+                    # embeds the full path, Check.constraint_id the leaf) and
+                    # array-nested numerics can't feed percentile anyway
+                    errors.append(
+                        SuiteConfigError(
+                            f"{c.constraint_id}: quantile column must be a dot-free "
+                            f"top-level column, got '{c.column}'"
+                        )
+                    )
+                elif c.column == "text_len":
+                    # per-span derived series: the quantile runner only
+                    # derives n_spans; text_len needs the drift family's
+                    # exploded series
+                    errors.append(
+                        SuiteConfigError(
+                            f"{c.constraint_id}: derived column 'text_len' is per-span "
+                            "and not supported by the quantile kind (n_spans is)"
+                        )
+                    )
+                elif c.column and c.column not in derived:
                     ft = _field_type(schema, c.column)
                     if ft is None:
                         errors.append(

@@ -201,3 +201,19 @@ def test_categorical_drift_matches_python_oracle(spark):
     loose = {r["grp"]: r["drifted"]
              for r in categorical_drift(df, "cat", "grp", tv_threshold=0.31).collect()}
     assert loose == {"g1": False, "g2": False, "g3": True}
+
+
+def test_categorical_drift_null_group_key(spark):
+    """A NULL in the GROUPING column is a legitimate group: the null-safe
+    spine join must score it on its actual distribution, not report
+    near-maximal drift because NULL never equi-joins (review finding,
+    reproduced at tv=0.5 for a group identical to another)."""
+    rows = [("g1", "a")] * 5 + [("g1", "b")] * 5 + [(None, "a")] * 5 + [(None, "b")] * 5
+    df = spark.createDataFrame(rows, ["grp", "cat"])
+    from sat_val_framework_spark.operators.drift import categorical_drift
+
+    got = {r["grp"]: r for r in categorical_drift(df, "cat", "grp").collect()}
+    assert set(got) == {"g1", None}
+    # both groups mirror the global 50/50 mix exactly
+    assert got["g1"]["tv"] == got[None]["tv"] == 0.0
+    assert not got[None]["drifted"]

@@ -84,3 +84,18 @@ def test_drift_on_non_numeric_column_rejected_driver_side(spark, docs):
 
     errs = CheckSuite([Check("drift_ks", "doc_id", {"threshold": 0.1})]).validate(docs)
     assert len(errs) == 1 and "must be numeric" in str(errs[0])
+
+
+def test_quantile_config_rejections(spark, docs):
+    """Eager validation closes the run-forever classes found in review:
+    dotted columns (constraint-id mismatch + array aggregation), the
+    per-span text_len derived series, and non-numeric bounds."""
+    from sat_val_framework_spark.suite import Check, CheckSuite
+
+    for params, column, needle in [
+        ({"hi": 100}, "spans.offset", "dot-free"),
+        ({"hi": 100}, "text_len", "per-span"),
+        ({"lo": "abc"}, "n_spans", "must be numeric"),
+    ]:
+        errs = CheckSuite([Check("quantile", column, params)]).validate(docs)
+        assert len(errs) == 1 and needle in str(errs[0]), (column, errs)
