@@ -433,6 +433,20 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b",
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # loop exhausted max_iterations without converging: a component with
+        # diameter > max_iterations (e.g. a sliding-window shingle chain)
+        # would be silently split into several cluster_ids and
+        # keep_one_per_cluster would under-deduplicate (ADVICE r3) — surface
+        # the truncation instead of guessing
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters did not converge within {max_iterations} iterations; "
+            "long-chain components are split — raise max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -163,13 +163,21 @@ def frequent_values(df: DataFrame, col: str, k: int = 10) -> DataFrame:
     counts = df.groupBy(F.col(col).alias("value")).agg(F.count(F.lit(1)).alias("n"))
     topk = counts.orderBy(F.col("n").desc(), F.col("value")).limit(k)
     other = topk.select(F.col("value").alias("v2"), F.col("n").alias("n2"))
+    # null-safe tie-break (ADVICE r3): Spark's ascending sort puts NULL
+    # FIRST, so the derived rank must count a NULL peer as "before" any
+    # non-NULL value on equal counts — a bare v2 < value is NULL (never
+    # counted) whenever the heavy-hitter set contains a NULL, which gave
+    # the NULL row rank 1 alongside the true top value
     before = (F.col("n2") > F.col("n")) | (
-        (F.col("n2") == F.col("n")) & (F.col("v2") < F.col("value"))
+        (F.col("n2") == F.col("n"))
+        & ((F.col("v2") < F.col("value")) | (F.col("v2").isNull() & F.col("value").isNotNull()))
     )
     return (
         topk.join(F.broadcast(other), before, "left")
         .groupBy("value", "n")
-        .agg((F.count(F.col("v2")) + 1).cast("int").alias("rank"))
+        # count matches via n2 (never NULL on a match) — counting v2 would
+        # skip a matched NULL heavy hitter and under-rank its successors
+        .agg((F.count(F.col("n2")) + 1).cast("int").alias("rank"))
         .select(F.col("value").cast("string").alias("value"), "n", "rank")
     )
 

@@ -27,6 +27,7 @@ import glob
 import hashlib
 import json
 import os
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,7 +36,7 @@ from pyspark.sql import types as T
 
 
 def _manifest_dir(table_dir: str) -> str:
-    return os.path.join(table_dir, "snapshots")
+    return os.path.join(os.path.abspath(table_dir), "snapshots")
 
 
 def _manifests(table_dir: str) -> list[dict]:
@@ -63,6 +64,19 @@ def _strip_scheme(p: str) -> str:
     return p[7:] if p.startswith("file://") else p
 
 
+def _file_key(p: str) -> tuple[str, str]:
+    """(data-dir uuid, part-file name) — the spelling-proof identity of a
+    data file. input_file_name() yields a scheme'd, URI-escaped ABSOLUTE
+    path while the manifest records the glob'd (possibly relative) path;
+    comparing full strings silently matched nothing for relative
+    table_dirs, degrading every stats lookup to {} (ADVICE r3 — the same
+    path-spelling trap orphan_data_dirs fixed by comparing basenames).
+    The data-dir uuid + part name pair is unique per table by
+    construction (_stage_data)."""
+    p = urllib.parse.unquote(_strip_scheme(p))
+    return (os.path.basename(os.path.dirname(p)), os.path.basename(p))
+
+
 def _file_stats(df_written, files: list[str], stats_cols: list[str]) -> dict:
     """Per-file min/max for the listed columns — the manifest-level column
     statistics Iceberg keeps per data file, computed with ONE hash-agg over
@@ -78,9 +92,10 @@ def _file_stats(df_written, files: list[str], stats_cols: list[str]) -> dict:
     )
     stats: dict = {}
     for r in rows:
-        f = _strip_scheme(r["__f"])
-        stats[f] = {c: [r[f"min__{c}"], r[f"max__{c}"]] for c in stats_cols}
-    return {f: stats.get(f, {}) for f in files}
+        stats[_file_key(r["__f"])] = {
+            c: [r[f"min__{c}"], r[f"max__{c}"]] for c in stats_cols
+        }
+    return {f: stats.get(_file_key(f), {}) for f in files}
 
 
 def write_snapshot(
@@ -136,7 +151,11 @@ def _stage_data(
     if cluster_by:
         n = n_files or df.sparkSession.sparkContext.defaultParallelism
         df = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(*cluster_by)
-    data_dir = os.path.join(table_dir, "data", uuid.uuid4().hex[:12])
+    # abspath at the Python/JVM boundary: Spark resolves a RELATIVE write
+    # path against the JVM's launch cwd while glob resolves against the
+    # CURRENT cwd — a relative table_dir would write the data one place and
+    # manifest another (ADVICE r3 path-spelling family, worst case)
+    data_dir = os.path.join(os.path.abspath(table_dir), "data", uuid.uuid4().hex[:12])
     df.write.mode("error").parquet(data_dir)
     return sorted(glob.glob(os.path.join(data_dir, "part-*.parquet")))
 
@@ -455,7 +474,7 @@ def orphan_data_dirs(table_dir: str) -> list[str]:
         for m in _manifests(table_dir)
         for f in m["files"]
     }
-    all_dirs = sorted(glob.glob(os.path.join(table_dir, "data", "*")))
+    all_dirs = sorted(glob.glob(os.path.join(os.path.abspath(table_dir), "data", "*")))
     return [d for d in all_dirs if os.path.basename(d) not in referenced]
 
 

@@ -54,8 +54,16 @@ class Check:
             return "span_seq_eq"  # FIXTURES.md §4 id; MUST match the operator's
         if self.kind == "schema_assert" or self.column is None:
             return self.kind
+        col = self.column
+        if self.kind == "unique" and "," in col:
+            # canonicalize composite keys in ONE place: the operator emits
+            # 'unique:source,doc_id' (stripped components), so a raw
+            # 'source, doc_id' here would never match its verdicts and
+            # checkpoint resume would re-run the check forever (ADVICE r3 —
+            # the CLAUDE.md constraint-id gotcha, composite-unique flavor)
+            col = ",".join(k.strip() for k in col.split(","))
         # leaf name: 'spans.media_ref' -> 'ref:media_ref' (FIXTURES.md §4 ids)
-        return f"{self.kind}:{self.column.split('.')[-1]}"
+        return f"{self.kind}:{col.split('.')[-1]}"
 
     @property
     def params_json(self) -> str:
@@ -107,7 +115,19 @@ class CheckSuite:
                             f"{PROFILE_THRESHOLD_PARAMS} required"
                         )
                     )
-                if c.column and c.column not in derived and _field_type(schema, c.column) is None:
+                if c.column == "text_len":
+                    # the runner's profile path only derives n_spans; the
+                    # per-span text_len series would raise AnalysisException
+                    # mid-job -> a retryable ERROR verdict that re-runs
+                    # forever on resume (ADVICE r3 — same hazard the
+                    # quantile kind rejects text_len for, below)
+                    errors.append(
+                        SuiteConfigError(
+                            f"{c.constraint_id}: derived column 'text_len' is per-span "
+                            "and not supported by the profile kind (n_spans is)"
+                        )
+                    )
+                elif c.column and c.column not in derived and _field_type(schema, c.column) is None:
                     errors.append(
                         SuiteConfigError(f"{c.constraint_id}: column '{c.column}' not in schema")
                     )

@@ -261,3 +261,26 @@ def test_cross_contamination_ignores_tokenless_docs(spark):
     got = {(r["a_id"], r["b_id"]) for r in
            dedup.cross_contamination(train, evalset, threshold=0.5).collect()}
     assert got == {("4", "12")}  # only the genuine leak; no empty-empty pairs
+
+
+def test_dedup_clusters_warns_on_truncated_convergence(spark):
+    """ADVICE r3: a component whose diameter exceeds max_iterations must not
+    be SILENTLY split into several cluster_ids — the loop warns."""
+    import warnings
+
+    from sat_val_framework_spark.functions.dedup import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(8)], ["doc_a", "doc_b"]
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        split = dedup_clusters(chain, max_iterations=1)
+        split.collect()
+        assert any("did not converge" in str(x.message) for x in w)
+    # converged run: one cluster, no warning
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ok = dedup_clusters(chain, max_iterations=20)
+        assert {r["cluster_id"] for r in ok.collect()} == {"d00"}
+        assert not any("did not converge" in str(x.message) for x in w)

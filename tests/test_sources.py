@@ -545,3 +545,32 @@ def test_janitor_path_spelling_and_expire_parent_repair(spark, tmp_path):
     with pytest.raises(ValueError, match="no parent"):
         schema_diff(tbl)
     assert read_snapshot(spark, tbl, s2).count() == 30
+
+
+def test_file_stats_survive_relative_table_dir(spark, tmp_path, monkeypatch):
+    """ADVICE r3: manifest stats are keyed by (data-dir uuid, part name), so
+    a RELATIVE table_dir — where input_file_name()'s absolute URI never
+    string-matches the glob'd manifest path — still records real min/max
+    and pruning still skips files."""
+    import os
+
+    from sat_val_framework_spark.sources.snapshots import prune_files, write_snapshot
+
+    monkeypatch.chdir(tmp_path)
+    tbl = "rel_stats_tbl"  # deliberately relative
+    df = spark.range(0, 4_000).select(F.col("id").alias("k"))
+    s1 = write_snapshot(df.repartitionByRange(4, "k"), tbl, stats_cols=["k"])
+    manifest_stats = _latest_manifest_stats(os.path.abspath(tbl))
+    assert manifest_stats and all(v.get("k") for v in manifest_stats.values())
+    kept, total = prune_files(tbl, s1, "k", lo=3900, hi=3999)
+    assert total == 4 and len(kept) <= 2
+
+
+def _latest_manifest_stats(table_dir):
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    paths = sorted(_glob.glob(_os.path.join(table_dir, "snapshots", "*.json")))
+    with open(paths[-1]) as f:
+        return _json.load(f)["stats"]

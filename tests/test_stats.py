@@ -194,3 +194,15 @@ def test_quantile_check_constraint_through_suite(spark, docs, catalog):
     assert len(errs) == 1 and "lo/hi" in str(errs[0])
     errs = CheckSuite([Check("quantile", "doc_id", {"hi": 5})]).validate(docs)
     assert len(errs) == 1 and "must be numeric" in str(errs[0])
+
+
+def test_frequent_values_null_heavy_hitter_gets_distinct_rank(spark):
+    """ADVICE r3: a NULL heavy hitter must not duplicate rank 1 — NULL sorts
+    first on ties (Spark's asc-nulls-first), and ranks stay a permutation."""
+    from sat_val_framework_spark.operators.stats import frequent_values
+
+    rows = [(v,) for v in ["a"] * 5 + [None] * 5 + ["b"] * 2]
+    df = spark.createDataFrame(rows, "x string")
+    got = {r["rank"]: (r["value"], r["n"]) for r in frequent_values(df, "x", k=3).collect()}
+    # NULL (n=5) ties with 'a' (n=5): NULL first, ranks distinct
+    assert got == {1: (None, 5), 2: ("a", 5), 3: ("b", 2)}

@@ -99,3 +99,33 @@ def test_quantile_config_rejections(spark, docs):
     ]:
         errs = CheckSuite([Check("quantile", column, params)]).validate(docs)
         assert len(errs) == 1 and needle in str(errs[0]), (column, errs)
+
+
+def test_composite_unique_constraint_id_canonicalized(docs):
+    """ADVICE r3: Check('unique', 'source, doc_id') must produce the SAME
+    constraint_id the operator emits ('unique:source,doc_id'), or checkpoint
+    resume silently re-runs the check forever."""
+    assert Check("unique", "doc_id, part_id").constraint_id == "unique:doc_id,part_id"
+    assert Check("unique", " doc_id ,  part_id").constraint_id == "unique:doc_id,part_id"
+    # single-key ids unchanged
+    assert Check("unique", "doc_id").constraint_id == "unique:doc_id"
+
+
+def test_composite_unique_id_matches_operator_emission(spark, docs):
+    """End-to-end parity: the id in uniqueness_check's verdicts equals the
+    whitespace-bearing Check's constraint_id."""
+    from sat_val_framework_spark.operators.uniqueness import uniqueness_check
+
+    verdicts, _ = uniqueness_check(docs.limit(50), "doc_id, part_id")
+    emitted = {r["constraint_id"] for r in verdicts.select("constraint_id").distinct().collect()}
+    assert emitted == {Check("unique", "doc_id, part_id").constraint_id}
+
+
+def test_profile_text_len_rejected_driver_side(docs):
+    """ADVICE r3: profile on text_len would raise AnalysisException mid-job
+    (retryable ERROR, re-run forever on resume) — validate must reject it
+    eagerly, exactly like the quantile kind does."""
+    errs = CheckSuite([Check("profile", "text_len", {"max_top_share": 0.9})]).validate(docs)
+    assert len(errs) == 1 and "text_len" in str(errs[0])
+    # n_spans stays accepted
+    assert CheckSuite([Check("profile", "n_spans", {"max_top_share": 0.9})]).validate(docs) == []
