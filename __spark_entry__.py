@@ -420,6 +420,27 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=3)
 
 
+def q_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-guarded LSH (VERDICT r3 #1): buckets over the cap degrade to
+    hub-star pairs (O(bucket), connectivity preserved for clustering)
+    instead of the O(bucket²) self-join a boilerplate family triggers at
+    web scale — functions/dedup.py:capped_bucket_pairs. The cap is
+    deliberately tiny (2) so the star path is EXERCISED on this corpus;
+    production uses ~10³ and the same plan."""
+    sigs = dedup.minhash_signature(_t_wide(spark, sf_dir, "documents"), k=12)
+    return dedup.lsh_candidate_pairs(
+        sigs, bands=4, rows_per_band=3, max_bucket_size=2, oversize="star"
+    )
+
+
+def q_lsh_oversized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-silent-caps audit twin of lsh_capped: every band bucket over
+    the cap with its size — what a capped pipeline logs/persists next to
+    the pair output."""
+    sigs = dedup.minhash_signature(_t_wide(spark, sf_dir, "documents"), k=12)
+    return dedup.lsh_oversized_buckets(sigs, bands=4, rows_per_band=3, max_bucket_size=2)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash16(_t_wide(spark, sf_dir, "documents"))
 
@@ -907,7 +928,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ordering is deliberate: the driver's correctness window checks a
+    # 50-query prefix per round, so queries NOT covered by the latest
+    # record (round-3 checked the 50 that now sit at the back) plus this
+    # round's new ones come FIRST — every query stays inside a recent
+    # driver-checked window (VERDICT r3 #8)
     return {
+        "lsh_capped": q_lsh_capped,
+        "lsh_oversized": q_lsh_oversized,
+        "range_join": q_range_join,
+        "sessionize": q_sessionize,
+        "rollup_revenue": q_rollup_revenue,
+        "pivot_events": q_pivot_events,
+        "dedup_embedding": q_dedup_embedding,
+        "training_filter": q_training_filter,
+        "ann_ivf": q_ann_ivf,
+        "cms_freq": q_cms_freq,
+        "time_rollup": q_time_rollup,
+        "cube_revenue": q_cube_revenue,
+        "running_totals": q_running_totals,
+        "cardinality_profile": q_cardinality_profile,
+        "frequent_values": q_frequent_values,
+        "value_entropy": q_value_entropy,
         "stats_per_source": q_stats_per_source,
         "null_rates": q_null_rates,
         "uniqueness": q_uniqueness,
@@ -958,20 +1000,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "topk_per_group": q_topk_per_group,
         "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "sessionize": q_sessionize,
-        "rollup_revenue": q_rollup_revenue,
-        "pivot_events": q_pivot_events,
-        "dedup_embedding": q_dedup_embedding,
-        "training_filter": q_training_filter,
-        "ann_ivf": q_ann_ivf,
-        "cms_freq": q_cms_freq,
-        "time_rollup": q_time_rollup,
-        "cube_revenue": q_cube_revenue,
-        "running_totals": q_running_totals,
-        "cardinality_profile": q_cardinality_profile,
-        "frequent_values": q_frequent_values,
-        "value_entropy": q_value_entropy,
     }
 
 
@@ -1330,6 +1358,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
               ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        """,
+        # capped LSH: buckets <= 2 all-pairs; oversized buckets degrade to
+        # hub-star (min doc_id as the hub) — mirrors capped_bucket_pairs
+        "lsh_capped": f"""
+            WITH {_LSH_CTES},
+            sized AS (SELECT doc_id, band_id, band_key,
+                             count(*) OVER (PARTITION BY band_id, band_key) AS bs,
+                             min(doc_id) OVER (PARTITION BY band_id, band_key) AS hub
+                      FROM bands)
+            SELECT DISTINCT doc_a, doc_b FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sized a JOIN sized b
+                  ON a.band_id = b.band_id AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id
+                WHERE a.bs <= 2
+                UNION ALL
+                SELECT hub AS doc_a, doc_id AS doc_b
+                FROM sized WHERE bs > 2 AND doc_id != hub)
+        """,
+        "lsh_oversized": f"""
+            WITH {_LSH_CTES}
+            SELECT band_id::int AS band_id, band_key, count(*)::bigint AS bucket_size
+            FROM bands GROUP BY band_id, band_key HAVING count(*) > 2
         """,
         # cross-corpus contamination: the same LSH pipeline over the raw
         # ids — the Spark side's 'a:'/'b:' prefixes only enforce side

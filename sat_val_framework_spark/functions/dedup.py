@@ -191,14 +191,11 @@ def minhash_signature(
     return agg.select("doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("minhash"))
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    bands: int = 4,
-    rows_per_band: int = 3,
+def banded_signatures(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 3
 ) -> DataFrame:
-    """Band the signature and equi-join on (band_id, band_key): classic
-    MinHash-LSH bucketing. Distinct candidate pairs, doc_a < doc_b."""
-    banded = signatures.select(
+    """(doc_id, band_id, band_key) rows: one bucket membership per band."""
+    return signatures.select(
         "doc_id",
         F.explode(
             F.array(
@@ -216,17 +213,138 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+
+
+def capped_bucket_pairs(
+    keyed: DataFrame,
+    key_cols: list[str],
+    max_bucket_size: int | None,
+    oversize: str = "star",
+    id_col: str = "doc_id",
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Self-join ``keyed`` on its bucket key with a bucket-size guard — the
+    shared candidate generator behind every LSH family (MinHash bands,
+    SimHash chunks, sign-LSH).
+
+    Why: web corpora always contain a template family (error pages,
+    boilerplate) that exact dedup can't remove but which lands in ONE
+    bucket — an uncapped self-join emits O(n²) pairs from that bucket and
+    is the one shape that kills the plan at 10^12 docs (VERDICT r3). With
+    ``max_bucket_size`` set, buckets at or under the cap do the normal
+    all-pairs join; oversized buckets degrade per ``oversize``:
+
+    - ``'star'`` (default): every member pairs with the bucket's MINIMUM
+      id only — O(bucket) pairs that keep the family CONNECTED, so
+      cluster-based dedup (dedup_clusters -> keep_one_per_cluster) still
+      collapses a homogeneous boilerplate family to one keeper. Pair-level
+      recall inside the oversized bucket degrades to the star (members
+      pair via the hub, not directly).
+    - ``'drop'``: the bucket contributes nothing.
+
+    Neither mode is silent: ``oversized_buckets`` on the same keyed frame
+    returns exactly the affected buckets with sizes — pipelines persist or
+    log that audit frame alongside the pairs (no-silent-caps rule).
+
+    ``carry_cols`` are carried onto both sides of the output (``<c>_a`` /
+    ``<c>_b``) so verify stages (hamming, cosine) need no join-back.
+    """
+    carry = carry_cols or []
+    out_a = [F.col(f"a.{id_col}").alias("doc_a")] + [
+        F.col(f"a.{c}").alias(f"{c}_a") for c in carry
+    ]
+    out_b = [F.col(f"b.{id_col}").alias("doc_b")] + [
+        F.col(f"b.{c}").alias(f"{c}_b") for c in carry
+    ]
+    if max_bucket_size is None:
+        a, b = keyed.alias("a"), keyed.alias("b")
+        cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        for k in key_cols:
+            cond &= F.col(f"a.{k}") == F.col(f"b.{k}")
+        return a.join(b, cond).select(*out_a, *out_b).distinct()
+    if oversize not in ("star", "drop"):
+        raise ValueError(f"unknown oversize mode '{oversize}'")
+    # oversized buckets are FEW by nature (that is what skew means — if a
+    # large fraction of buckets were oversized the candidate set would be
+    # quadratic regardless), so aggregate them into a tiny (key, hub) frame
+    # and BROADCAST it back: the small side rides the same plan as the
+    # uncapped join plus one cheap broadcast probe per side, no windows —
+    # the window formulation measured 8 exchanges vs 3 (plan audit r4)
+    over = (
+        keyed.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("__bsize"),
+            F.min(id_col).alias("__hub"),
+            *[F.min_by(c, F.col(id_col)).alias(f"__hub_{c}") for c in carry],
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .filter(F.col("__bsize") > max_bucket_size)
+    )
+    marked = keyed.join(F.broadcast(over), key_cols, "left")
+    small = marked.filter(F.col("__bsize").isNull())
+    a, b = small.alias("a"), small.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for k in key_cols:
+        cond &= F.col(f"a.{k}") == F.col(f"b.{k}")
+    pairs = a.join(b, cond).select(*out_a, *out_b)
+    if oversize == "star":
+        star = marked.filter(
+            F.col("__bsize").isNotNull() & (F.col(id_col) != F.col("__hub"))
+        ).select(
+            F.col("__hub").alias("doc_a"),
+            *[F.col(f"__hub_{c}").alias(f"{c}_a") for c in carry],
+            F.col(id_col).alias("doc_b"),
+            *[F.col(c).alias(f"{c}_b") for c in carry],
+        )
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
+
+
+def oversized_buckets(
+    keyed: DataFrame, key_cols: list[str], max_bucket_size: int
+) -> DataFrame:
+    """Audit frame for the cap: buckets whose membership exceeds
+    ``max_bucket_size`` — (key_cols..., bucket_size). Rides the same
+    banded/chunked frame as the pair join; a pipeline that caps MUST
+    surface this (write it next to the pair output) so the degradation is
+    queryable, never silent."""
+    return (
+        keyed.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 3,
+    max_bucket_size: int | None = None,
+    oversize: str = "star",
+) -> DataFrame:
+    """Band the signature and equi-join on (band_id, band_key): classic
+    MinHash-LSH bucketing. Distinct candidate pairs, doc_a < doc_b.
+
+    ``max_bucket_size`` is the skew guard for degenerate buckets (template
+    families): see ``capped_bucket_pairs``. Pair with
+    ``lsh_oversized_buckets`` for the audit of what degraded."""
+    banded = banded_signatures(signatures, bands, rows_per_band)
+    return capped_bucket_pairs(
+        banded, ["band_id", "band_key"], max_bucket_size, oversize
+    )
+
+
+def lsh_oversized_buckets(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """(band_id, band_key, bucket_size) for every band bucket over the cap —
+    the no-silent-caps audit twin of ``lsh_candidate_pairs``."""
+    return oversized_buckets(
+        banded_signatures(signatures, bands, rows_per_band),
+        ["band_id", "band_key"],
+        max_bucket_size,
     )
 
 
@@ -309,36 +427,13 @@ def hamming_distance(sig_a: Column, sig_b: Column, n_bits: int) -> Column:
     return total
 
 
-def simhash_near_dup(
-    docs: DataFrame,
-    max_hamming: int = 3,
-    n_bits: int = 64,
-    n_chunks: int = 4,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    hash_fn: str = "md5",
+def simhash_chunked(
+    sigs: DataFrame, n_bits: int = 64, n_chunks: int = 4
 ) -> DataFrame:
-    """SimHash near-duplicate pairs: LSH candidates -> exact hamming verify.
-
-    Same LSH->verify composition as jaccard_on_pairs / embedding near-dup
-    (the A10 matcher contract, /root/reference/sat_val_framework/
-    implement.py:140-143, SimHash flavor). The signature is split into
-    ``n_chunks`` equal bit-chunks; by pigeonhole, two signatures within
-    hamming distance ``max_hamming`` < n_chunks agree EXACTLY on at least
-    one chunk — so the equi-join on (chunk_id, chunk_key) has guaranteed
-    recall (not probabilistic). Verify = popcount of the XOR.
-
-    Scale shape: chunk keys are (n_bits/n_chunks)-bit values — 2^16 with
-    the defaults — so the self-join shuffles on a high-cardinality key and
-    bucket sizes stay sub-linear; candidates are verified with pure JVM
-    bit ops, no second pass over the corpus."""
-    if max_hamming >= n_chunks:
-        raise ValueError(
-            f"pigeonhole recall needs max_hamming < n_chunks ({max_hamming} >= {n_chunks})"
-        )
+    """(doc_id, simhash, chunk_id, chunk_key) rows from a simhash_bits
+    frame: one bucket membership per signature chunk."""
     w = n_bits // n_chunks
-    sigs = simhash_bits(docs, n_bits, text_col, id_col, hash_fn)
-    chunked = sigs.select(
+    return sigs.select(
         "doc_id",
         "simhash",
         F.explode(
@@ -353,30 +448,83 @@ def simhash_near_dup(
             )
         ).alias("c"),
     ).select("doc_id", "simhash", "c.chunk_id", "c.chunk_key")
-    a = chunked.alias("a")
-    b = chunked.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.chunk_key") == F.col("b.chunk_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+
+
+def simhash_near_dup(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_bits: int = 64,
+    n_chunks: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+    max_bucket_size: int | None = None,
+    oversize: str = "star",
+) -> DataFrame:
+    """SimHash near-duplicate pairs: LSH candidates -> exact hamming verify.
+
+    Same LSH->verify composition as jaccard_on_pairs / embedding near-dup
+    (the A10 matcher contract, /root/reference/sat_val_framework/
+    implement.py:140-143, SimHash flavor). The signature is split into
+    ``n_chunks`` equal bit-chunks; by pigeonhole, two signatures within
+    hamming distance ``max_hamming`` < n_chunks agree EXACTLY on at least
+    one chunk — so the equi-join on (chunk_id, chunk_key) has guaranteed
+    recall (not probabilistic). Verify = popcount of the XOR.
+
+    Scale shape: chunk keys are (n_bits/n_chunks)-bit values — 2^16 with
+    the defaults — so the self-join shuffles on a high-cardinality key and
+    bucket sizes stay sub-linear; candidates are verified with pure JVM
+    bit ops, no second pass over the corpus.
+
+    ``max_bucket_size`` guards the degenerate case those 2^16 key values
+    can't: a boilerplate family whose signatures collide into ONE chunk
+    bucket (see ``capped_bucket_pairs``). In 'star' mode the pigeonhole
+    guarantee holds UNCHANGED for pairs outside oversized buckets and for
+    identical-signature families (hamming 0 through the hub); a pair whose
+    only shared chunk lies in an oversized bucket and whose members are
+    near the hub's hamming limit can be missed — the explicit, audited
+    (``simhash_oversized_chunks``) price of boundedness."""
+    if max_hamming >= n_chunks:
+        raise ValueError(
+            f"pigeonhole recall needs max_hamming < n_chunks ({max_hamming} >= {n_chunks})"
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("b.simhash").alias("sig_b"),
-        )
-        .distinct()
+    sigs = simhash_bits(docs, n_bits, text_col, id_col, hash_fn)
+    chunked = simhash_chunked(sigs, n_bits, n_chunks)
+    cands = capped_bucket_pairs(
+        chunked,
+        ["chunk_id", "chunk_key"],
+        max_bucket_size,
+        oversize,
+        carry_cols=["simhash"],
     )
     return (
         cands.select(
             "doc_a",
             "doc_b",
-            hamming_distance(F.col("sig_a"), F.col("sig_b"), n_bits).cast("int").alias("hamming"),
+            hamming_distance(F.col("simhash_a"), F.col("simhash_b"), n_bits)
+            .cast("int")
+            .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_oversized_chunks(
+    docs: DataFrame,
+    n_bits: int = 64,
+    n_chunks: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """(chunk_id, chunk_key, bucket_size) for chunk buckets over the cap —
+    the audit twin of a capped ``simhash_near_dup``."""
+    sigs = simhash_bits(docs, n_bits, text_col, id_col, hash_fn)
+    return oversized_buckets(
+        simhash_chunked(sigs, n_bits, n_chunks),
+        ["chunk_id", "chunk_key"],
+        max_bucket_size,
     )
 
 
@@ -527,6 +675,8 @@ def cross_contamination(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "md5",
+    max_bucket_size: int | None = None,
+    oversize: str = "star",
 ) -> DataFrame:
     """-> (a_id, b_id, jaccard): near-duplicate pairs ACROSS two corpora —
     benchmark-contamination detection (did eval data leak into the training
@@ -556,9 +706,14 @@ def cross_contamination(
 
     u = _side(corpus_a, "a:").unionByName(_side(corpus_b, "b:"))
     sigs = minhash_signature(u, k, n, text_col, id_col, hash_fn)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band).where(
-        F.col("doc_a").startswith("a:") & F.col("doc_b").startswith("b:")
-    )
+    # max_bucket_size: the boilerplate guard (capped_bucket_pairs). In
+    # 'star' mode an oversized bucket's hub is the minimum PREFIXED id —
+    # an a-side doc whenever the bucket has one — so b-side members still
+    # surface as (a_hub, b) cross pairs; a-members lose only their
+    # direct pairings with non-hub b-members (audited, not silent).
+    cands = lsh_candidate_pairs(
+        sigs, bands, rows_per_band, max_bucket_size, oversize
+    ).where(F.col("doc_a").startswith("a:") & F.col("doc_b").startswith("b:"))
     pairs = jaccard_on_pairs(cands, u, threshold, n, text_col, id_col)
     return pairs.select(
         F.expr("substring(doc_a, 3)").alias("a_id"),

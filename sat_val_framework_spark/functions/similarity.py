@@ -126,6 +126,40 @@ def bucketed_topk(
     )
 
 
+def sign_banded(
+    emb: DataFrame,
+    n_bits: int = 8,
+    bands: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(doc_id, vec, band_id, band_key) rows: band b's key = sign bits of
+    dims [b*n_bits, (b+1)*n_bits)."""
+
+    def band_key(vec: Column, b: int) -> Column:
+        return F.concat(
+            *[
+                F.when(vec[b * n_bits + i] >= 0, F.lit("1")).otherwise(F.lit("0"))
+                for i in range(n_bits)
+            ]
+        )
+
+    return emb.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"), band_key(F.col(vec_col), b).alias("band_key")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "vec", "band.band_id", "band.band_key")
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.4,
@@ -133,6 +167,8 @@ def embedding_near_dup_pairs(
     bands: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+    oversize: str = "star",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded sign-bucket LSH —
     the scale path replacing the all-pairs crossJoin (O(n²) in corpus size).
@@ -144,37 +180,44 @@ def embedding_near_dup_pairs(
     per hit and collapsed by max (same value), avoiding a join-back for the
     vectors. Recall grows with ``bands``; cost with bucket occupancy — never
     with corpus size squared.
+
+    ``max_bucket_size``: skew guard for a degenerate bucket (a family of
+    near-identical embeddings — dedup.capped_bucket_pairs semantics:
+    all-pairs under the cap, hub-star above it, auditable via
+    ``embedding_oversized_buckets``).
     """
+    from sat_val_framework_spark.functions.dedup import capped_bucket_pairs
 
-    def band_key(vec: Column, b: int) -> Column:
-        return F.concat(
-            *[
-                F.when(vec[b * n_bits + i] >= 0, F.lit("1")).otherwise(F.lit("0"))
-                for i in range(n_bits)
-            ]
-        )
-
-    banded = emb.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_id"), band_key(F.col(vec_col), b).alias("key"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("vid", "vec", "band.band_id", "band.key")
-    a = banded.select(F.col("vid").alias("vec_a"), F.col("vec").alias("ea"), "band_id", "key")
-    b = banded.select(F.col("vid").alias("vec_b"), F.col("vec").alias("eb"), "band_id", "key")
+    banded = sign_banded(emb, n_bits, bands, id_col, vec_col)
+    cands = capped_bucket_pairs(
+        banded, ["band_id", "band_key"], max_bucket_size, oversize, carry_cols=["vec"]
+    )
+    scored = cands.select(
+        "doc_a", "doc_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cos")
+    )
     return (
-        a.join(b, ["band_id", "key"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos"))
-        .groupBy("vec_a", "vec_b")
+        scored.groupBy(F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b"))
         .agg(F.round(F.max("cos"), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_oversized_buckets(
+    emb: DataFrame,
+    n_bits: int = 8,
+    bands: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """(band_id, band_key, bucket_size) for sign buckets over the cap — the
+    no-silent-caps audit twin of a capped ``embedding_near_dup_pairs``."""
+    from sat_val_framework_spark.functions.dedup import oversized_buckets
+
+    return oversized_buckets(
+        sign_banded(emb, n_bits, bands, id_col, vec_col),
+        ["band_id", "band_key"],
+        max_bucket_size,
     )
 
 
