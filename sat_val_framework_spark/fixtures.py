@@ -163,6 +163,32 @@ def _baseline_rows() -> list[tuple]:
     return rows
 
 
+def _baseline_kind_rows() -> list[tuple]:
+    # analytic span-kind mix: kind_h%10<7 -> text (0.7); else residue 8 of
+    # {7,8,9} is the only even one -> image 0.1, audio 0.2 (verified against
+    # the mixer empirically: 0.6994/0.1005/0.2001 at 260k spans)
+    return [("kind", "text", 0.7), ("kind", "image", 0.1), ("kind", "audio", 0.2)]
+
+
+def baseline_kinds_pandas() -> pd.DataFrame:
+    """Analytic categorical baseline (span-kind mix) as a driver-side
+    pandas frame — metadata-sized like baseline_stats_pandas."""
+    return pd.DataFrame(_baseline_kind_rows(), columns=["col_name", "value", "ref_frac"])
+
+
+def baseline_kinds_df(spark: SparkSession) -> DataFrame:
+    """Categorical baseline table (col_name, value, ref_frac): the clean
+    span-kind distribution, for the drift_categorical suite kind."""
+    schema = T.StructType(
+        [
+            T.StructField("col_name", T.StringType(), False),
+            T.StructField("value", T.StringType(), False),
+            T.StructField("ref_frac", T.DoubleType(), False),
+        ]
+    )
+    return spark.createDataFrame(_baseline_kind_rows(), schema)
+
+
 def baseline_stats_df(spark: SparkSession) -> DataFrame:
     """Analytic reference histograms of the *clean* distributions
     (FIXTURES.md §3): fixed bin edges, ref_frac sums to 1 per column."""

@@ -192,7 +192,10 @@ def redact_pii(text: Column) -> Column:
 
 
 def repetition_profile(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-document repetition signals (the Gopher/MassiveText quality-
     filter family): ``dup_word_frac`` (1 - distinct/total tokens) and
@@ -207,15 +210,19 @@ def repetition_profile(
     at −7.6% in fused Pass C). ``explode_outer`` keeps docs with no
     bigrams. Token-less and NULL docs get NULL fractions (undefined, not
     0 — the callers' NULL-handling decides)."""
+    carry = list(carry_cols or [])  # constants per doc: ride the aggs via
+    # first() in both levels (same trick as __dwf) — no join-back needed
     toks = tokens_col(F.col(text_col))
     base = docs.select(
         F.col(id_col).alias("doc_id"),
+        *carry,
         F.when(F.size(toks) > 0, 1.0 - F.size(F.array_distinct(toks)) / F.size(toks))
         .alias("__dwf"),
         toks.alias("__toks"),
     )
     rows = base.select(
         "doc_id",
+        *carry,
         "__dwf",
         F.explode_outer(
             F.when(
@@ -228,7 +235,9 @@ def repetition_profile(
         ).alias("bigram"),
     )
     per_big = rows.groupBy("doc_id", "bigram").agg(
-        F.count(F.lit(1)).alias("c"), F.first("__dwf").alias("__dwf")
+        F.count(F.lit(1)).alias("c"),
+        F.first("__dwf").alias("__dwf"),
+        *[F.first(c).alias(c) for c in carry],
     )
     has_big = F.col("bigram").isNotNull()
     return per_big.groupBy("doc_id").agg(
@@ -238,4 +247,5 @@ def repetition_profile(
             / F.sum(F.when(has_big, F.col("c"))),
             6,
         ).alias("top_bigram_frac"),
+        *[F.first(c).alias(c) for c in carry],
     )

@@ -154,6 +154,8 @@ FUSED_CONSTRAINT_IDS = [
     "unique:doc_id",
     "profile:n_spans",
     "fd:doc_id->part_id",
+    "quantile:n_spans",
+    "drift_categorical:kind",
 ]
 
 # fused profile counters cover n_spans values 0..PROFILE_DOMAIN-1 exactly
@@ -174,11 +176,23 @@ def run_suite_fused(
     psi_threshold: float = 0.2,
     profile_max_top_share: float = 0.9,
     profile_min_entropy: float = 0.5,
+    baseline_cat=None,
+    q: float = 0.5,
+    q_lo: float = 5,
+    q_hi: float = 8,
+    cat_tv_threshold: float = 0.05,
+    cat_js_threshold: float | None = None,
     checkpoint_path: str | None = None,
     run_id: str | None = None,
 ) -> DataFrame:
     """The DEFAULT_SUITE's verdicts in three scans. Returns the union of
     verdict rows (same CHECK_OUTPUT_COLS shape as the modular runner).
+
+    ``baseline_cat``: categorical baseline (col_name, value, ref_frac) for
+    the drift_categorical:kind twin — Spark or pandas frame; defaults to
+    the fixture's analytic span-kind mix (this fused path is specific to
+    the DOCUMENTS_SCHEMA fixture shape by design). The quantile twin's
+    defaults (q/q_lo/q_hi) mirror DEFAULT_SUITE's quantile:n_spans check.
 
     With ``checkpoint_path``: resumable like the modular runner — the
     doc-level and span-level passes scan only partitions with ANY pending
@@ -224,6 +238,7 @@ def run_suite_fused(
         spark, scan_docs, docs, catalog, baseline, part_col,
         stats_lo, stats_hi, ks_threshold, psi_threshold,
         profile_max_top_share, profile_min_entropy,
+        baseline_cat, q, q_lo, q_hi, cat_tv_threshold, cat_js_threshold,
     )
     if checkpoint_path:
         if done_pairs:
@@ -248,9 +263,28 @@ def _run_fused_passes(
     psi_threshold: float = 0.2,
     profile_max_top_share: float = 0.9,
     profile_min_entropy: float = 0.5,
+    baseline_cat=None,
+    q: float = 0.5,
+    q_lo: float = 5,
+    q_hi: float = 8,
+    cat_tv_threshold: float = 0.05,
+    cat_js_threshold: float | None = None,
 ) -> DataFrame:
     """The three passes. ``docs`` may be partition-filtered for resume;
     ``docs_all`` is the full table (uniqueness must see every row)."""
+    if baseline_cat is None:
+        from sat_val_framework_spark.fixtures import baseline_kinds_pandas
+
+        baseline_cat = baseline_kinds_pandas()
+    bcat = _baseline_pd(baseline_cat)
+    # (value, ref_frac) pairs for the kind mix — metadata-sized, baked into
+    # the Pass B aggregation as per-category counters
+    cats = [
+        (str(r.value), float(r.ref_frac))
+        for r in bcat[bcat.col_name == "kind"].itertuples()
+    ]
+    if not cats:
+        raise ValueError("baseline_cat has no rows for col_name='kind'")
     bpd = _baseline_pd(baseline)
     lo_ns, w_ns, nb_ns = _edges_pd(bpd, "n_spans")
     lo_tl, w_tl, nb_tl = _edges_pd(bpd, "text_len")
@@ -399,6 +433,61 @@ def _run_fused_passes(
     )
     profile_v = profile_ok_v.unionByName(profile_oob_v)
 
+    # quantile constraint from the SAME value counters (exact when every
+    # value is inside the counter domain — the pv_oob guard below): the
+    # q-quantile of an integer column is fully determined by its value
+    # counts, so the fused path derives percentile_cont from cumulative
+    # counts on n_parts rows, mirroring Spark's Percentile interpolation
+    # ((higher-pos)*lower + (pos-lower)*higher) so the modular
+    # F.percentile twin is bit-identical (shared verdict builder formats
+    # the same %s strings)
+    from sat_val_framework_spark.operators.stats import quantile_verdicts_from_wide
+
+    cum = []
+    run = None
+    for c in pv:
+        run = c if run is None else run + c
+        cum.append(run)
+    pos = (n_obs - 1).cast("double") * F.lit(float(q))
+    lo_i = F.floor(pos)
+    hi_i = F.ceil(pos)
+
+    def x_at(idx):
+        res = F.lit(None).cast("double")
+        for j in reversed(range(pv_domain)):
+            res = F.when(cum[j] >= idx + 1, F.lit(float(j))).otherwise(res)
+        return res
+
+    x_lo, x_hi = x_at(lo_i), x_at(hi_i)
+    qv = F.when(hi_i == lo_i, x_lo).otherwise(
+        (hi_i.cast("double") - pos) * x_lo + (pos - lo_i.cast("double")) * x_hi
+    )
+    q_wide = wide_a.select(
+        "part_id",
+        F.col("rows").alias("rows_scanned"),
+        n_obs.cast("long").alias("n_obs"),
+        F.when(n_obs > 0, qv).alias("qv"),
+        F.col("pv_oob"),
+    )
+    quantile_ok_v = quantile_verdicts_from_wide(
+        q_wide.filter(F.col("pv_oob") == 0).drop("pv_oob"),
+        "quantile:n_spans", q, q_lo, q_hi,
+    )
+    quantile_oob_v = q_wide.filter(F.col("pv_oob") > 0).select(
+        F.lit("quantile:n_spans").alias("constraint_id"),
+        "part_id",
+        F.lit(ERROR).alias("status"),
+        F.lit(ERR_EXECUTION).alias("error_kind"),
+        F.col("rows_scanned").cast("long").alias("rows_scanned"),
+        F.lit(1).cast("long").alias("violation_count"),
+        F.array(
+            F.concat(F.lit(f"n_spans outside fused counter domain [0,{pv_domain}): "),
+                     F.col("pv_oob").cast("string"),
+                     F.lit(" rows; run modular quantile_check"))
+        ).alias("sample_violations"),
+    )
+    quantile_v = quantile_ok_v.unionByName(quantile_oob_v)
+
     # ---- Pass B: one span-level pass (explode shared by tl-drift + ref) -
     ex = docs.select(
         F.col(part_col).alias("part_id"), F.explode("spans").alias("s")
@@ -412,12 +501,23 @@ def _run_fused_passes(
     exj = ex.join(cat, "media_ref", "left")
     orphan = (F.col("kind") != "text") & F.col("present").isNull()
     bin_tl = _bin(F.col("tl"), lo_tl, w_tl, nb_tl)
+    # categorical kind counters ride the SAME span pass: one counter per
+    # baseline category + one for everything else. Folding all unseen
+    # categories into ONE bucket is EXACT for both tv and js: with q=0,
+    # Σ|p_c - 0| = Σp_c = p_other and Σ ½·p_c·ln2 = ½·p_other·ln2
+    ck = F.coalesce(F.col("kind"), F.lit("<NULL>"))
+    cat_vals = [v for v, _ in cats]
     aggs_b = [
         F.sum(orphan.cast("long")).alias("orphans"),
         sample_col(F.col("media_ref"), orphan).alias("orphan_samples"),
     ] + [
         F.sum(F.when(F.col("tl").isNotNull() & (bin_tl == b), 1).otherwise(0)).alias(f"h_tl_{b}")
         for b in range(nb_tl)
+    ] + [
+        F.sum((ck == F.lit(v)).cast("long")).alias(f"ck_{i}")
+        for i, (v, _) in enumerate(cats)
+    ] + [
+        F.sum((~ck.isin(cat_vals)).cast("long")).alias("ck_other")
     ]
     # same two-level bound as Pass A (an all-orphan partition is realistic:
     # one missing catalog shard orphans every span that referenced it)
@@ -425,7 +525,9 @@ def _run_fused_passes(
     merge_b = [
         F.sum("orphans").alias("orphans"),
         merged_samples("orphan_samples").alias("orphan_samples"),
-    ] + [F.sum(f"h_tl_{b}").alias(f"h_tl_{b}") for b in range(nb_tl)]
+    ] + [F.sum(f"h_tl_{b}").alias(f"h_tl_{b}") for b in range(nb_tl)] + [
+        F.sum(f"ck_{i}").alias(f"ck_{i}") for i in range(len(cats))
+    ] + [F.sum("ck_other").alias("ck_other")]
     wide_b_raw = l1_b.groupBy("part_id").agg(*merge_b)
     # LEFT-join from Pass A's partition spine with zero-fill: a partition
     # whose docs all have NULL/empty spans produces NO rows after explode,
@@ -439,7 +541,9 @@ def _run_fused_passes(
         ),
     ] + [
         F.coalesce(F.col(f"h_tl_{b}"), F.lit(0)).alias(f"h_tl_{b}") for b in range(nb_tl)
-    ]
+    ] + [
+        F.coalesce(F.col(f"ck_{i}"), F.lit(0)).alias(f"ck_{i}") for i in range(len(cats))
+    ] + [F.coalesce(F.col("ck_other"), F.lit(0)).alias("ck_other")]
     wide_b = (
         wide_a.select("part_id")
         .join(wide_b_raw, "part_id", "left")
@@ -460,6 +564,42 @@ def _run_fused_passes(
     )
     drift_tl_v = _hist_verdicts(
         wide_b, "h_tl_", nb_tl, ref_tl, "text_len", ks_threshold, psi_threshold
+    )
+
+    # categorical drift verdicts from the counters (n_parts rows): tv/js
+    # expressions + the SAME verdict builder as the modular path
+    from sat_val_framework_spark.operators.drift import categorical_verdicts_from_scores
+
+    ck_cols = [F.col(f"ck_{i}") for i in range(len(cats))] + [F.col("ck_other")]
+    ck_n = None
+    for c in ck_cols:
+        ck_n = c if ck_n is None else ck_n + c
+    nd = ck_n.cast("double")
+    tv_terms = None
+    js_terms = None
+    for i, (_, qfrac) in enumerate(cats):
+        p = F.col(f"ck_{i}") / nd
+        t = F.abs(p - F.lit(qfrac))
+        m = (p + F.lit(qfrac)) / 2
+        j = (
+            F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+            + F.lit(qfrac) * F.log(F.lit(qfrac) / m)
+        ) / 2
+        tv_terms = t if tv_terms is None else tv_terms + t
+        js_terms = j if js_terms is None else js_terms + j
+    p_other = F.col("ck_other") / nd
+    tv_terms = tv_terms + p_other
+    js_terms = js_terms + F.when(
+        p_other > 0, p_other * F.lit(float(np.log(2.0))) / 2
+    ).otherwise(F.lit(0.0))
+    cat_scores = wide_b.select(
+        "part_id",
+        ck_n.cast("long").alias("n_obs"),
+        F.when(ck_n > 0, tv_terms / 2).alias("tv"),
+        F.when(ck_n > 0, js_terms).alias("js"),
+    )
+    cat_v = categorical_verdicts_from_scores(
+        cat_scores, "drift_categorical:kind", cat_tv_threshold, cat_js_threshold
     )
 
     # ---- Pass C: uniqueness + fd:doc_id->part_id (own shuffle key) ------
@@ -541,4 +681,6 @@ def _run_fused_passes(
         .unionByName(drift_tl_v, allowMissingColumns=True)
         .unionByName(pass_c_v, allowMissingColumns=True)
         .unionByName(profile_v, allowMissingColumns=True)
+        .unionByName(quantile_v, allowMissingColumns=True)
+        .unionByName(cat_v, allowMissingColumns=True)
     )

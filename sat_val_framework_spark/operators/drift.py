@@ -203,6 +203,157 @@ def drift_check(
     return verdicts, scores
 
 
+def categorical_verdicts_from_scores(
+    scores: DataFrame,
+    constraint_id: str,
+    tv_threshold: float,
+    js_threshold: float | None = None,
+) -> DataFrame:
+    """Shared verdict builder for the 'drift_categorical' check kind: turns
+    (part_id, n_obs, tv, js) score rows into standard verdict rows. Used by
+    BOTH the modular categorical_drift_check and the fused suite so
+    thresholds, sample strings, and ERROR semantics are literally the same
+    expressions on both paths (the profile_verdicts_from_wide pattern).
+
+    n_obs = non-NULL series observations; a partition with zero gets a
+    typed EmptySeriesError verdict (drift of nothing is undefined)."""
+    empty = F.col("n_obs") == 0
+    checks: list[tuple] = [
+        (
+            F.col("tv") > tv_threshold,
+            F.concat(F.lit("tv="), F.round(F.col("tv"), 4).cast("string"),
+                     F.lit(f">{tv_threshold}")),
+        )
+    ]
+    if js_threshold is not None:
+        checks.append(
+            (
+                F.col("js") > js_threshold,
+                F.concat(F.lit("js="), F.round(F.col("js"), 4).cast("string"),
+                         F.lit(f">{js_threshold}")),
+            )
+        )
+    viol = None
+    for cond, _ in checks:
+        v = cond.cast("long")
+        viol = v if viol is None else viol + v
+    samples = F.sort_array(
+        F.filter(
+            F.array(*[F.when(cond, msg) for cond, msg in checks]),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return scores.select(
+        F.lit(constraint_id).alias("constraint_id"),
+        F.col("part_id"),
+        F.when(empty, F.lit(ERROR))
+        .when(viol > 0, F.lit(FAIL))
+        .otherwise(F.lit(PASS))
+        .alias("status"),
+        F.when(empty, F.lit(ERR_EMPTY_SERIES)).alias("error_kind"),
+        F.col("n_obs").cast("long").alias("rows_scanned"),
+        F.when(empty, F.lit(1)).otherwise(F.coalesce(viol, F.lit(0))).cast("long").alias(
+            "violation_count"
+        ),
+        F.when(~empty, samples).otherwise(F.array().cast("array<string>")).alias(
+            "sample_violations"
+        ),
+    )
+
+
+def categorical_drift_scores(
+    series: DataFrame,
+    baseline_cat: DataFrame,
+    col_name: str,
+    part_col: str = "part_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """-> (part_id, n_obs, tv, js): per-partition total-variation distance
+    and Jensen-Shannon divergence of a categorical series vs a CONFIGURED
+    baseline distribution (col_name, value, ref_frac) — the suite-kind twin
+    of ``categorical_drift`` (which compares groups to the GLOBAL mix).
+
+    Series convention (mirrors histogram's bin −1): a NULL ``value`` is a
+    presence-only marker — it keeps a partition whose docs produced no
+    category observations visible (so it gets an ERROR verdict instead of
+    silently vanishing and staying pending on every resume) without
+    counting toward the distribution. Callers that want NULL *category*
+    semantics coalesce to a sentinel before handing the series in.
+
+    Scale shape: one (part, value) hash-agg + one per-part total agg; the
+    baseline is a broadcast dimension joined onto the per-part spine, so
+    only distinct (part, value) pairs cross any shuffle. Categories absent
+    from a partition contribute (p=0, q>0); categories absent from the
+    BASELINE contribute (p>0, q=0) via an anti-join branch — both sides of
+    the support matter or drift is understated."""
+    bvals = baseline_cat.filter(F.col("col_name") == col_name).select(
+        F.col("value"), F.col("ref_frac").cast("double").alias("q")
+    )
+    v = F.col(value_col)
+    obs = (
+        series.filter(v.isNotNull())
+        .groupBy(F.col(part_col).alias("part_id"), v.alias("value"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = series.groupBy(F.col(part_col).alias("part_id")).agg(
+        F.count(v).alias("n_obs")
+    )
+    spine = totals.crossJoin(F.broadcast(bvals))
+    # try_divide: a partition with ONLY presence markers has n_obs=0 and
+    # ANSI mode (Spark 4 default) raises on the division — NULL fractions
+    # are correct there (the verdict builder turns n_obs=0 into ERROR)
+    matched = spine.join(obs, ["part_id", "value"], "left").select(
+        "part_id",
+        "n_obs",
+        F.try_divide(F.coalesce(F.col("c"), F.lit(0)), F.col("n_obs")).alias("p"),
+        F.col("q"),
+    )
+    extra = (
+        obs.join(F.broadcast(bvals.select("value")), "value", "left_anti")
+        .join(totals, "part_id")
+        .select(
+            "part_id",
+            "n_obs",
+            F.try_divide(F.col("c"), F.col("n_obs")).alias("p"),
+            F.lit(0.0).alias("q"),
+        )
+    )
+    rows = matched.unionByName(extra)
+    m = (F.col("p") + F.col("q")) / 2
+    js_term = (
+        F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("q") > 0, F.col("q") * F.log(F.col("q") / m)).otherwise(F.lit(0.0))
+    ) / 2
+    return rows.groupBy("part_id").agg(
+        F.max("n_obs").alias("n_obs"),
+        F.sum(F.abs(F.col("p") - F.col("q"))).alias("l1"),
+        F.sum(js_term).alias("js"),
+    ).select(
+        "part_id", "n_obs", (F.col("l1") / 2).alias("tv"), "js"
+    )
+
+
+def categorical_drift_check(
+    series: DataFrame,
+    baseline_cat: DataFrame,
+    col_name: str,
+    tv_threshold: float = 0.1,
+    js_threshold: float | None = None,
+    part_col: str = "part_id",
+    value_col: str = "value",
+) -> tuple[DataFrame, DataFrame]:
+    """-> (verdicts, scores) for categorical drift vs a configured baseline
+    — the 'drift_categorical' suite kind (A6/A11 realized for unordered
+    columns: event types, sources, span kinds, language codes)."""
+    scores = categorical_drift_scores(series, baseline_cat, col_name, part_col, value_col)
+    return (
+        categorical_verdicts_from_scores(
+            scores, f"drift_categorical:{col_name}", tv_threshold, js_threshold
+        ),
+        scores,
+    )
+
+
 def categorical_drift(
     df: DataFrame,
     col: str,

@@ -328,6 +328,21 @@ def quantile_check(
         F.count(column).alias("n_obs"),
         qf.alias("qv"),
     )
+    return quantile_verdicts_from_wide(wide, f"quantile:{column}", q, lo, hi)
+
+
+def quantile_verdicts_from_wide(
+    wide: DataFrame,
+    constraint_id: str,
+    q: float,
+    lo: float | None,
+    hi: float | None,
+) -> DataFrame:
+    """Shared verdict builder for the 'quantile' check kind: turns
+    (part_id, rows_scanned, n_obs, qv) rows into standard verdict rows.
+    Used by BOTH the modular quantile_check and the fused suite (which
+    derives qv from its exact value counters) so thresholds, %s-formatted
+    sample strings, and ERROR semantics match byte-for-byte."""
     breach = F.lit(False)
     msgs = []
     if lo is not None:
@@ -338,7 +353,7 @@ def quantile_check(
         msgs.append(F.when(F.col("qv") > hi, F.format_string(f"q{q}=%s>{hi}", F.col("qv"))))
     empty = F.col("n_obs") == 0
     return wide.select(
-        F.lit(f"quantile:{column}").alias("constraint_id"),
+        F.lit(constraint_id).alias("constraint_id"),
         F.col("part_id"),
         F.when(empty, F.lit(ERROR)).when(breach, F.lit(FAIL)).otherwise(F.lit(PASS)).alias(
             "status"

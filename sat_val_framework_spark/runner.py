@@ -56,6 +56,14 @@ DEFAULT_SUITE = CheckSuite(
         # functional dependency: a doc_id must live in exactly one partition
         # (the A3 invariant shape); the seeded dup doc_ids violate it
         Check("fd", "doc_id->part_id"),
+        # robust-location bound: the n_spans median must stay in [5, 8] —
+        # catches the column's CENTER walking away (the drifted partition's
+        # +4 shift fails this where min/max bounds stay silent). approx=False
+        # so the fused counter-derived quantile twin is bit-identical
+        Check("quantile", "n_spans", {"q": 0.5, "lo": 5, "hi": 8, "approx": False}),
+        # categorical drift of the span-kind mix vs the configured baseline
+        # (tv = categorical KS-analogue; unordered columns have no bins)
+        Check("drift_categorical", "kind", {"tv_threshold": 0.05}),
     ]
 )
 
@@ -69,6 +77,49 @@ class RunResult:
     run_id: str
     verdicts: DataFrame
     skipped: list[str] = field(default_factory=list)  # "<constraint>:<part>" resumed pairs
+
+
+def _cat_series_for(docs: DataFrame, column: str, part_col: str) -> DataFrame:
+    """(part_id, value) string series for a categorical drift column.
+
+    'kind' (derived): one row per span with the span's kind, NULL kinds
+    coalesced to the '<NULL>' sentinel BEFORE the explode (a NULL category
+    is itself a category — a surge of NULLs IS drift). Docs whose spans
+    array is NULL/empty contribute a NULL *value* row — the presence-only
+    marker convention (categorical_drift_scores) that keeps their partition
+    visible for the EmptySeriesError verdict. Top-level columns: one row
+    per doc, value cast to string with the same sentinel."""
+    if column == "kind":
+        kinds = F.transform(
+            F.col("spans"), lambda s: F.coalesce(s["kind"], F.lit("<NULL>"))
+        )
+        return docs.select(
+            F.col(part_col).alias(part_col), F.explode_outer(kinds).alias("value")
+        )
+    if column in docs.schema.fieldNames():
+        return docs.select(
+            part_col,
+            F.coalesce(F.col(column).cast("string"), F.lit("<NULL>")).alias("value"),
+        )
+    raise ValueError(f"no categorical series derivation for column '{column}'")
+
+
+def _doc_text(docs: DataFrame, part_col: str) -> DataFrame:
+    """(part_id, doc_id, text): per-document text = the doc's text spans
+    joined by ' ' — the series the text-quality kinds (repetition,
+    contamination) run on. NULL-spans docs keep a NULL text (token-less:
+    the downstream tokenizer treats them as empty, never as violations)."""
+    texts = F.transform(
+        F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text")),
+        lambda s: s["text"],
+    )
+    return docs.select(
+        part_col,
+        "doc_id",
+        F.when(F.col("spans").isNull(), F.lit(None).cast("string"))
+        .otherwise(F.concat_ws(" ", texts))
+        .alias("text"),
+    )
 
 
 def _series_for(docs: DataFrame, column: str, part_col: str) -> DataFrame:
@@ -91,6 +142,7 @@ def run_suite(
     suite: CheckSuite = DEFAULT_SUITE,
     catalog: DataFrame | None = None,
     baseline: DataFrame | None = None,
+    baseline_cat: DataFrame | None = None,
     expected_docs: DataFrame | None = None,
     checkpoint_path: str | None = None,
     violations_path: str | None = None,
@@ -283,6 +335,123 @@ def run_suite(
             # one shared pass, but each sibling's rows carry its own params
             for sib in siblings.values():
                 emit(out.filter(F.col("constraint_id") == sib.constraint_id), sib.params_json, t0)
+        elif c.kind == "drift_categorical":
+            if baseline_cat is None:
+                raise ValueError("drift_categorical checks require baseline_cat=")
+            from sat_val_framework_spark.operators.drift import categorical_drift_check
+
+            series = _cat_series_for(docs, c.column, part_col)
+            scoped, todo = pending_filter(c.constraint_id, series)
+            if not todo:
+                skipped.append(c.constraint_id)
+                return
+            out, _scores = categorical_drift_check(
+                scoped,
+                baseline_cat,
+                c.column,
+                tv_threshold=float(c.params["tv_threshold"]),
+                js_threshold=(
+                    float(c.params["js_threshold"]) if "js_threshold" in c.params else None
+                ),
+                part_col=part_col,
+            )
+            emit(out, c.params_json, t0)
+        elif c.kind == "repetition":
+            from sat_val_framework_spark.functions.text import repetition_profile
+            from sat_val_framework_spark.verdicts import bounded_samples
+
+            scoped, todo = pending_filter(c.constraint_id, _doc_text(docs, part_col))
+            if not todo:
+                skipped.append(c.constraint_id)
+                return
+            rep = repetition_profile(scoped, carry_cols=[part_col])
+            max_dwf = c.params.get("max_dup_word_frac")
+            max_tbf = c.params.get("max_top_bigram_frac")
+            cond = F.lit(False)
+            if max_dwf is not None:
+                cond = cond | (F.col("dup_word_frac") > max_dwf)
+            if max_tbf is not None:
+                cond = cond | (F.col("top_bigram_frac") > max_tbf)
+            viol = rep.filter(cond).select(
+                F.col(part_col).alias("part_id"), F.col("doc_id").alias("violation_key")
+            )
+            per_part = scoped.groupBy(F.col(part_col).alias("part_id")).agg(
+                F.count(F.lit(1)).alias("rows_scanned")
+            )
+            if violations_path:
+                ckpt.append_violations(
+                    viol, violations_path, run_id, c.constraint_id, key_col="violation_key"
+                )
+            viol_agg = bounded_samples(viol, "part_id", "violation_key")
+            from sat_val_framework_spark.verdicts import FAIL, PASS
+
+            out = per_part.join(viol_agg, "part_id", "left").select(
+                F.lit(c.constraint_id).alias("constraint_id"),
+                F.col("part_id"),
+                F.when(F.coalesce(F.col("violation_count"), F.lit(0)) > 0, F.lit(FAIL))
+                .otherwise(F.lit(PASS))
+                .alias("status"),
+                F.col("rows_scanned"),
+                F.coalesce(F.col("violation_count"), F.lit(0)).cast("long").alias(
+                    "violation_count"
+                ),
+                F.coalesce(F.col("sample_violations"), F.array().cast("array<string>")).alias(
+                    "sample_violations"
+                ),
+            )
+            emit(out, c.params_json, t0)
+        elif c.kind == "contamination":
+            from sat_val_framework_spark.functions.dedup import cross_contamination
+            from sat_val_framework_spark.verdicts import FAIL, PASS, bounded_samples
+
+            scoped, todo = pending_filter(c.constraint_id, _doc_text(docs, part_col))
+            if not todo:
+                skipped.append(c.constraint_id)
+                return
+            # a missing/unreadable reference corpus raises here and becomes
+            # a retryable ERROR verdict (errors-as-values) via run_check's
+            # catch — resume retries after the path is fixed
+            ref = spark.read.parquet(c.params["ref_path"])
+            pairs = cross_contamination(
+                scoped.select("doc_id", "text"),
+                ref,
+                threshold=float(c.params.get("threshold", 0.8)),
+                max_bucket_size=c.params.get("max_bucket_size"),
+            )
+            hits = pairs.select(F.col("a_id").alias("__k")).distinct()
+            # contaminated docs are FEW relative to the corpus (else the
+            # corpus IS the benchmark) — broadcast the hit set back for
+            # partition attribution, same rationale as uniqueness_check
+            viol = (
+                scoped.withColumn("__k", F.col("doc_id").cast("string"))
+                .join(F.broadcast(hits), "__k", "left_semi")
+                .select(
+                    F.col(part_col).alias("part_id"), F.col("doc_id").alias("violation_key")
+                )
+            )
+            per_part = scoped.groupBy(F.col(part_col).alias("part_id")).agg(
+                F.count(F.lit(1)).alias("rows_scanned")
+            )
+            if violations_path:
+                ckpt.append_violations(
+                    viol, violations_path, run_id, c.constraint_id, key_col="violation_key"
+                )
+            viol_agg = bounded_samples(viol, "part_id", "violation_key")
+            out = per_part.join(viol_agg, "part_id", "left").select(
+                F.lit(c.constraint_id).alias("constraint_id"),
+                F.col("part_id"),
+                F.when(F.coalesce(F.col("violation_count"), F.lit(0)) > 0, F.lit(FAIL))
+                .otherwise(F.lit(PASS))
+                .alias("status"),
+                F.col("rows_scanned"),
+                F.coalesce(F.col("violation_count"), F.lit(0)).cast("long").alias(
+                    "violation_count"
+                ),
+                F.coalesce(F.col("sample_violations"), F.array().cast("array<string>")).alias(
+                    "sample_violations"
+                ),
+            )
+            emit(out, c.params_json, t0)
         elif c.kind == "quantile":
             from sat_val_framework_spark.operators.stats import quantile_check
 

@@ -32,6 +32,11 @@ KINDS = frozenset(
         "fd",             # functional dependency 'determinant->dependent'
                           # (uniqueness generalized: A3 invariants)
         "quantile",       # robust-location bound: q-quantile within [lo, hi]
+        "drift_categorical",  # tv/js vs a configured categorical baseline
+                              # (unordered columns: kinds, sources, langs)
+        "repetition",     # per-doc Gopher repetition signals thresholded
+                          # into per-partition verdicts
+        "contamination",  # cross-corpus LSH near-dup vs a reference corpus
     }
 )
 
@@ -85,6 +90,13 @@ def _field_type(schema: T.StructType, dotted: str) -> T.DataType | None:
 # columns derivable from the documents shape by profile.py rather than
 # present in the schema (n_spans = size(spans); text_len = per-text-span len)
 DERIVED_COLUMNS = frozenset({"n_spans", "text_len"})
+
+# categorical series derivable from the documents shape ('kind' = per-span
+# kind labels); any top-level schema column also works (cast to string)
+CATEGORICAL_DERIVED = frozenset({"kind"})
+
+# thresholds accepted by the repetition kind (at least one required)
+REPETITION_THRESHOLD_PARAMS = ("max_dup_word_frac", "max_top_bigram_frac")
 
 
 @dataclass
@@ -247,6 +259,58 @@ class CheckSuite:
                 if thr is None or not isinstance(thr, (int, float)) or thr <= 0:
                     errors.append(
                         SuiteConfigError(f"{c.constraint_id}: positive params.threshold required")
+                    )
+            if c.kind == "drift_categorical":
+                tvt = c.params.get("tv_threshold")
+                if tvt is None or not isinstance(tvt, (int, float)) or tvt <= 0:
+                    errors.append(
+                        SuiteConfigError(f"{c.constraint_id}: positive params.tv_threshold required")
+                    )
+                jst = c.params.get("js_threshold")
+                if jst is not None and (not isinstance(jst, (int, float)) or jst <= 0):
+                    errors.append(
+                        SuiteConfigError(f"{c.constraint_id}: params.js_threshold must be positive")
+                    )
+                if (
+                    c.column
+                    and c.column not in CATEGORICAL_DERIVED
+                    and ("." in c.column or _field_type(schema, c.column) is None)
+                ):
+                    # dotted paths are rejected outright (constraint-id
+                    # parity: the operator embeds the column name the runner
+                    # derived the series from, Check.constraint_id the leaf)
+                    errors.append(
+                        SuiteConfigError(
+                            f"{c.constraint_id}: column '{c.column}' must be a derived "
+                            f"categorical series {sorted(CATEGORICAL_DERIVED)} or a "
+                            "dot-free top-level column"
+                        )
+                    )
+            if c.kind == "repetition":
+                if not any(p in c.params for p in REPETITION_THRESHOLD_PARAMS):
+                    errors.append(
+                        SuiteConfigError(
+                            f"{c.constraint_id}: at least one of "
+                            f"{REPETITION_THRESHOLD_PARAMS} required"
+                        )
+                    )
+                for p in REPETITION_THRESHOLD_PARAMS:
+                    val = c.params.get(p)
+                    if val is not None and (
+                        not isinstance(val, (int, float)) or not 0 <= val <= 1
+                    ):
+                        errors.append(
+                            SuiteConfigError(f"{c.constraint_id}: params.{p} must be in [0,1]")
+                        )
+            if c.kind == "contamination":
+                if not c.params.get("ref_path") or not isinstance(c.params.get("ref_path"), str):
+                    errors.append(
+                        SuiteConfigError(f"{c.constraint_id}: params.ref_path (parquet path) required")
+                    )
+                thr = c.params.get("threshold", 0.8)
+                if not isinstance(thr, (int, float)) or not 0 < thr <= 1:
+                    errors.append(
+                        SuiteConfigError(f"{c.constraint_id}: params.threshold must be in (0,1]")
                     )
         seen: set[str] = set()
         for c in self.checks:

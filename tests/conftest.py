@@ -37,6 +37,11 @@ def baseline(spark):
 
 
 @pytest.fixture(scope="session")
+def baseline_cat(spark):
+    return fx.baseline_kinds_df(spark)
+
+
+@pytest.fixture(scope="session")
 def docs_pd() -> pd.DataFrame:
     return fx.documents_pandas(N_DOCS)
 

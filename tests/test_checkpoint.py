@@ -25,11 +25,12 @@ def _verdict_key(df):
     }
 
 
-def test_full_run_then_resume_is_noop(spark, docs, catalog, baseline, tmp_path):
+def test_full_run_then_resume_is_noop(spark, docs, catalog, baseline, baseline_cat, tmp_path):
     """Full DEFAULT_SUITE (incl. ref + drift) so emitted constraint_ids are
     checked against the suite's resume keys — a mismatch re-runs forever."""
     path = str(tmp_path / "ckpt")
-    kw = dict(catalog=catalog, baseline=baseline, checkpoint_path=path, run_id="run-a")
+    kw = dict(catalog=catalog, baseline=baseline, baseline_cat=baseline_cat,
+              checkpoint_path=path, run_id="run-a")
     r1 = run_suite(spark, docs, DEFAULT_SUITE, **kw)
     first = _verdict_key(r1.verdicts)
     r2 = run_suite(spark, docs, DEFAULT_SUITE, **kw)
@@ -106,13 +107,13 @@ def test_runner_span_seq_check(spark, docs, tmp_path):
     assert CheckSuite([Check("span_seq")]).checks[0].constraint_id == "span_seq_eq"
 
 
-def test_diff_runs_and_summary(spark, docs, catalog, baseline, tmp_path):
+def test_diff_runs_and_summary(spark, docs, catalog, baseline, baseline_cat, tmp_path):
     """Two runs over different inputs: diff surfaces exactly the changed
     verdicts; summary rolls up per-run health."""
     from pyspark.sql import functions as Fn
 
     path = str(tmp_path / "ckpt")
-    kw = dict(catalog=catalog, baseline=baseline, checkpoint_path=path)
+    kw = dict(catalog=catalog, baseline=baseline, baseline_cat=baseline_cat, checkpoint_path=path)
     run_suite(spark, docs, DEFAULT_SUITE, run_id="ra", **kw)
     # second run over a cleaned table (null-span docs dropped) -> schema and
     # stats verdicts change where those docs lived
@@ -131,7 +132,7 @@ def test_diff_runs_and_summary(spark, docs, catalog, baseline, tmp_path):
     summary = {r["run_id"]: r for r in ckpt.run_summary(cp).collect()}
     assert summary["ra"]["n_fail"] > summary["rb"]["n_fail"]
     assert 0.0 < summary["ra"]["pass_rate"] < 1.0
-    assert summary["ra"]["n_constraints"] == 10  # DEFAULT_SUITE incl. profile + fd
+    assert summary["ra"]["n_constraints"] == 12  # DEFAULT_SUITE incl. quantile + cat-drift
 
 
 def test_discover_worklist_persists_and_reloads(spark, docs, oracle, tmp_path):

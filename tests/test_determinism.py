@@ -17,12 +17,12 @@ def _key(rows):
     }
 
 
-def test_modular_suite_identical_across_parallelism(spark, docs, catalog, baseline):
+def test_modular_suite_identical_across_parallelism(spark, docs, catalog, baseline, baseline_cat):
     one = run_suite(
-        spark, docs.coalesce(1), DEFAULT_SUITE, catalog=catalog, baseline=baseline
+        spark, docs.coalesce(1), DEFAULT_SUITE, catalog=catalog, baseline=baseline, baseline_cat=baseline_cat
     ).verdicts.collect()
     many = run_suite(
-        spark, docs.repartition(16), DEFAULT_SUITE, catalog=catalog, baseline=baseline
+        spark, docs.repartition(16), DEFAULT_SUITE, catalog=catalog, baseline=baseline, baseline_cat=baseline_cat
     ).verdicts.collect()
     assert _key(one) == _key(many)
 

@@ -17,9 +17,10 @@ def _key(rows):
     }
 
 
-def test_fused_matches_modular(spark, docs, catalog, baseline):
+def test_fused_matches_modular(spark, docs, catalog, baseline, baseline_cat):
     modular = run_suite(
-        spark, docs, DEFAULT_SUITE, catalog=catalog, baseline=baseline
+        spark, docs, DEFAULT_SUITE, catalog=catalog, baseline=baseline,
+        baseline_cat=baseline_cat
     ).verdicts.collect()
     fused = run_suite_fused(spark, docs, catalog, baseline).collect()
     mk, fk = _key(modular), _key(fused)
@@ -85,14 +86,15 @@ def test_fused_shares_pass_results(spark, docs, catalog, baseline):
     assert "InMemoryTableScan" in plan
 
 
-def test_fused_matches_modular_on_structural_schema_drift(spark, docs, catalog, baseline):
+def test_fused_matches_modular_on_structural_schema_drift(spark, docs, catalog, baseline, baseline_cat):
     """A structurally drifted input (extra column) must FAIL schema_assert in
     fused mode exactly like the modular runner (ADVICE r1)."""
     from pyspark.sql import functions as F
 
     drifted = docs.withColumn("rogue_col", F.lit(1))
     modular = run_suite(
-        spark, drifted, DEFAULT_SUITE, catalog=catalog, baseline=baseline
+        spark, drifted, DEFAULT_SUITE, catalog=catalog, baseline=baseline,
+        baseline_cat=baseline_cat
     ).verdicts.collect()
     fused = run_suite_fused(spark, drifted, catalog, baseline).collect()
     mk, fk = _key(modular), _key(fused)
@@ -102,7 +104,7 @@ def test_fused_matches_modular_on_structural_schema_drift(spark, docs, catalog, 
     assert all(v[0] == "FAIL" for v in f_schema.values())
 
 
-def test_fused_matches_modular_with_all_null_spans_partition(spark, catalog, baseline):
+def test_fused_matches_modular_with_all_null_spans_partition(spark, catalog, baseline, baseline_cat):
     """A partition whose docs ALL have NULL spans must still get a verdict
     for EVERY constraint in fused mode (no silently-dropped pending pair)."""
     from pyspark.sql import functions as F
@@ -117,7 +119,8 @@ def test_fused_matches_modular_with_all_null_spans_partition(spark, catalog, bas
         .otherwise(F.col("spans")),
     )
     modular = run_suite(
-        spark, docs2, DEFAULT_SUITE, catalog=catalog, baseline=baseline
+        spark, docs2, DEFAULT_SUITE, catalog=catalog, baseline=baseline,
+        baseline_cat=baseline_cat
     ).verdicts.collect()
     fused = run_suite_fused(spark, docs2, catalog, baseline).collect()
     mk, fk = _key(modular), _key(fused)
@@ -133,12 +136,12 @@ def test_fused_matches_modular_with_all_null_spans_partition(spark, catalog, bas
     assert set(f_err) == {
         "drift_ks:text_len", "drift_psi:text_len",
         "drift_ks:n_spans", "drift_psi:n_spans",
-        "profile:n_spans",
+        "profile:n_spans", "quantile:n_spans", "drift_categorical:kind",
     }
     assert all(r["error_kind"] == "EmptySeriesError" for r in f_err.values())
 
 
-def test_profile_constraint_fails_on_degenerate_column_both_paths(spark, catalog, baseline):
+def test_profile_constraint_fails_on_degenerate_column_both_paths(spark, catalog, baseline, baseline_cat):
     """A column collapsed to a constant must FAIL the profile constraint
     (top_share=1 > 0.9, entropy=0 < 0.5) with the SAME verdict rows on the
     modular and fused paths — threshold logic is one shared builder."""
@@ -152,7 +155,8 @@ def test_profile_constraint_fails_on_degenerate_column_both_paths(spark, catalog
         "spans", F.when(F.col("spans").isNotNull(), F.slice("spans", 1, 1))
     )
     modular = run_suite(
-        spark, one, DEFAULT_SUITE, catalog=catalog, baseline=baseline
+        spark, one, DEFAULT_SUITE, catalog=catalog, baseline=baseline,
+        baseline_cat=baseline_cat
     ).verdicts
     fused = run_suite_fused(spark, one, catalog, baseline)
     mk = {r["part_id"]: r for r in modular.collect() if r["constraint_id"] == "profile:n_spans"}

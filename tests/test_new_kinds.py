@@ -1,0 +1,165 @@
+"""Round-4 suite kinds: drift_categorical (vs configured baseline),
+repetition, contamination — each declarable in a CheckSuite, emitting
+standard verdict rows and riding checkpoint/resume (VERDICT r3 #3/#4/#7)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sat_val_framework_spark import checkpoint as ckpt
+from sat_val_framework_spark import fixtures as fx
+from sat_val_framework_spark.runner import DEFAULT_SUITE, run_suite
+from sat_val_framework_spark.suite import Check, CheckSuite
+
+
+def _status(res):
+    return {
+        (r["constraint_id"], r["part_id"]): r["status"] for r in res.verdicts.collect()
+    }
+
+
+def test_default_suite_new_constraints_expected_verdicts(
+    spark, docs, catalog, baseline, baseline_cat
+):
+    """quantile:n_spans must FAIL exactly the drifted partition (its +4
+    n_spans shift moves the median from ~6.5 to ~10.5, outside [5, 8]);
+    drift_categorical:kind must PASS everywhere (the kind mix is not
+    drifted in the fixture)."""
+    res = run_suite(
+        spark, docs, DEFAULT_SUITE, catalog=catalog, baseline=baseline,
+        baseline_cat=baseline_cat,
+    )
+    st = _status(res)
+    q_fail = {p for (c, p), s in st.items() if c == "quantile:n_spans" and s == "FAIL"}
+    assert q_fail == {fx.DRIFT_PART}
+    cat_status = {s for (c, _), s in st.items() if c == "drift_categorical:kind"}
+    assert cat_status == {"PASS"}
+
+
+def test_categorical_drift_check_detects_seeded_kind_shift(spark, baseline_cat):
+    """A partition whose span kinds collapse to one category must FAIL the
+    tv threshold; matching partitions PASS; a partition with only presence
+    markers gets a typed EmptySeriesError."""
+    from sat_val_framework_spark.operators.drift import categorical_drift_check
+
+    rows = (
+        # part 0: matches the baseline mix (0.7/0.1/0.2)
+        [(0, "text")] * 70 + [(0, "image")] * 10 + [(0, "audio")] * 20
+        # part 1: all image — tv = (|0-0.7| + |1-0.1| + |0-0.2|)/2 = 0.9
+        + [(1, "image")] * 50
+        # part 2: presence markers only (docs with no spans)
+        + [(2, None)] * 5
+    )
+    series = spark.createDataFrame(rows, "part_id int, value string")
+    verdicts, scores = categorical_drift_check(
+        series, baseline_cat, "kind", tv_threshold=0.1
+    )
+    st = {r["part_id"]: r for r in verdicts.collect()}
+    assert st[0]["status"] == "PASS"
+    assert st[1]["status"] == "FAIL" and "tv=0.9>0.1" in st[1]["sample_violations"][0]
+    assert st[2]["status"] == "ERROR" and st[2]["error_kind"] == "EmptySeriesError"
+    sc = {r["part_id"]: r for r in scores.collect()}
+    assert abs(sc[0]["tv"]) < 1e-9 and abs(sc[1]["tv"] - 0.9) < 1e-9
+    # unseen category counts against the baseline (p>0, q=0)
+    extra = spark.createDataFrame([(0, "video")] * 10 + [(0, "text")] * 90, "part_id int, value string")
+    _, sc2 = categorical_drift_check(extra, baseline_cat, "kind", tv_threshold=0.1)
+    tv = sc2.collect()[0]["tv"]
+    # |0.9-0.7| + |0-0.1| + |0-0.2| + 0.1 -> /2 = 0.3
+    assert abs(tv - 0.3) < 1e-9
+
+
+def _mini_docs(spark, texts_per_part: dict):
+    """DOCUMENTS_SCHEMA-shaped docs: one text span per doc."""
+    rows = []
+    for part, texts in texts_per_part.items():
+        for i, t in enumerate(texts):
+            rows.append(
+                (f"doc-{part}-{i}", part, [(("text", t, None, 0))])
+            )
+    return spark.createDataFrame(rows, fx.DOCUMENTS_SCHEMA)
+
+
+def test_repetition_kind_flags_degenerate_partitions(spark, tmp_path):
+    suite = CheckSuite([Check("repetition", params={"max_dup_word_frac": 0.5})])
+    docs = _mini_docs(
+        spark,
+        {
+            0: ["alpha beta gamma delta epsilon zeta", "one two three four five six"],
+            1: ["spam spam spam spam spam spam spam spam", "ham ham ham ham ham eggs"],
+        },
+    )
+    path = str(tmp_path / "ck")
+    res = run_suite(spark, docs, suite, checkpoint_path=path, run_id="rep1")
+    st = {r["part_id"]: r for r in res.verdicts.collect()}
+    assert st[0]["status"] == "PASS" and st[0]["violation_count"] == 0
+    assert st[1]["status"] == "FAIL" and st[1]["violation_count"] == 2
+    assert st[1]["sample_violations"] == ["doc-1-0", "doc-1-1"]
+    assert st[0]["rows_scanned"] == 2
+    # resume is a noop (constraint ids match Check.constraint_id)
+    res2 = run_suite(spark, docs, suite, checkpoint_path=path, run_id="rep1")
+    assert res2.verdicts.count() == 0
+
+
+def test_repetition_validate_requires_threshold(docs):
+    errs = CheckSuite([Check("repetition")]).validate(docs)
+    assert len(errs) == 1 and "max_dup_word_frac" in str(errs[0])
+    errs2 = CheckSuite([Check("repetition", params={"max_dup_word_frac": 1.5})]).validate(docs)
+    assert len(errs2) == 1 and "[0,1]" in str(errs2[0])
+
+
+def test_contamination_kind_with_resume_after_missing_ref(spark, tmp_path):
+    """Missing reference corpus -> typed retryable ERROR verdicts; after the
+    path exists, the SAME run_id re-runs exactly those pairs and flags the
+    leaked docs (errors-as-values + resume, the A1/A20 composition)."""
+    ref_path = str(tmp_path / "ref.parquet")
+    suite = CheckSuite(
+        [Check("contamination", params={"ref_path": ref_path, "threshold": 0.5})]
+    )
+    leak = "the quick brown fox jumps over the lazy dog again and again tonight"
+    docs = _mini_docs(
+        spark,
+        {
+            0: ["completely original words nothing shared here at all", leak],
+            1: ["another unique document with its own content entirely"],
+        },
+    )
+    path = str(tmp_path / "ck")
+    r1 = run_suite(spark, docs, suite, checkpoint_path=path, run_id="c1")
+    first = r1.verdicts.collect()
+    assert {r["status"] for r in first} == {"ERROR"}
+    assert {r["error_kind"] for r in first} == {"FileNotFoundError"}
+
+    spark.createDataFrame(
+        [("r-1", leak), ("r-2", "benchmark question about many different topics")],
+        ["doc_id", "text"],
+    ).write.parquet(ref_path)
+    r2 = run_suite(spark, docs, suite, checkpoint_path=path, run_id="c1")
+    st = {r["part_id"]: r for r in r2.verdicts.collect()}
+    assert st[0]["status"] == "FAIL" and st[0]["sample_violations"] == ["doc-0-1"]
+    assert st[1]["status"] == "PASS"
+    # third run: everything done, noop
+    r3 = run_suite(spark, docs, suite, checkpoint_path=path, run_id="c1")
+    assert r3.verdicts.count() == 0
+
+
+def test_contamination_validate_requires_ref_path(docs):
+    errs = CheckSuite([Check("contamination")]).validate(docs)
+    assert len(errs) == 1 and "ref_path" in str(errs[0])
+
+
+def test_drift_categorical_validate(docs):
+    ok = CheckSuite([Check("drift_categorical", "kind", {"tv_threshold": 0.1})])
+    assert ok.validate(docs) == []
+    errs = CheckSuite([Check("drift_categorical", "kind")]).validate(docs)
+    assert len(errs) == 1 and "tv_threshold" in str(errs[0])
+    errs2 = CheckSuite(
+        [Check("drift_categorical", "spans.kind", {"tv_threshold": 0.1})]
+    ).validate(docs)
+    assert len(errs2) == 1 and "dot-free" in str(errs2[0])
+
+
+def test_drift_categorical_missing_baseline_is_error_value(spark, docs):
+    suite = CheckSuite([Check("drift_categorical", "kind", {"tv_threshold": 0.1})])
+    res = run_suite(spark, docs, suite)  # baseline_cat MISSING
+    rows = res.verdicts.collect()
+    assert rows and {r["status"] for r in rows} == {"ERROR"}
+    assert {r["error_kind"] for r in rows} == {"MissingInputError"}
