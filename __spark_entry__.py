@@ -562,6 +562,20 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=16, n_probe=3)
 
 
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with Lloyd-refined centroids (VERDICT r3 #5): 2 k-means
+    iterations as DataFrame aggs (assign-by-literal-dot -> per-cell
+    per-dim avg, 6dp-rounded for engine reproducibility), then the same
+    literal-centroid probe plan as ann_ivf. The oracle unrolls the
+    identical two iterations in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.train_ivf_centroids(emb, n_centroids=16, n_iters=2)
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=16, n_probe=3,
+        centroids=cents,
+    )
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_stats(_t(spark, sf_dir, "embeddings"))
 
@@ -936,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lsh_capped": q_lsh_capped,
         "lsh_oversized": q_lsh_oversized,
+        "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "range_join": q_range_join,
         "sessionize": q_sessionize,
         "rollup_revenue": q_rollup_revenue,
@@ -1096,6 +1111,29 @@ def _simhash64_near_dup_sql(max_hamming: int = 3) -> str:
             FROM cand64)
         WHERE hamming <= {max_hamming}
     """
+
+
+def _kmeans_iter_sql(t: int) -> str:
+    """One unrolled Lloyd iteration over cents{t} -> cents{t+1}: assign each
+    vector to its argmax-dot cell (ties to the higher cell, matching
+    Spark's reverse(array_sort)), then per-cell per-dim means rounded to
+    6dp (similarity.train_ivf_centroids); empty cells keep the previous
+    centroid."""
+    avgs = ", ".join(f"round(avg(e[{j + 1}]), 6)" for j in range(64))
+    return f"""dots_a{t} AS (SELECT emb.vec_id, c.cell,
+                            list_reduce(list_transform(generate_series(1, 64),
+                                                       j -> emb.e[j] * c.ce[j]),
+                                        (a, b) -> a + b) AS s
+                     FROM emb, cents{t} c),
+            a{t} AS (SELECT vec_id, cell FROM
+                       (SELECT vec_id, cell,
+                               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+                        FROM dots_a{t})
+                     WHERE rn = 1),
+            avg{t + 1} AS (SELECT a{t}.cell, [{avgs}] AS ce
+                           FROM emb JOIN a{t} USING (vec_id) GROUP BY a{t}.cell),
+            cents{t + 1} AS (SELECT c.cell, coalesce(n.ce, c.ce) AS ce
+                             FROM cents{t} c LEFT JOIN avg{t + 1} n USING (cell))"""
 
 
 def _sign_key_sql(start: int = 0, n_bits: int = 8) -> str:
@@ -1801,6 +1839,45 @@ def oracle_sql() -> dict[str, str]:
         # dot products as an explicit sequential left fold (list_reduce) so
         # the doubles are bit-identical to Spark's fold; cell argmax breaks
         # ties toward the HIGHER cell index (Spark's reverse(array_sort))
+        # IVF with 2 unrolled Lloyd iterations: assign (argmax dot, ties to
+        # the higher cell) -> per-cell per-dim avg rounded to 6dp (the
+        # rounding makes avg association order irrelevant across engines);
+        # empty cells keep their previous centroid (coalesce)
+        "ann_ivf_kmeans": f"""
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            cents0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce
+                       FROM emb ORDER BY vec_id LIMIT 16),
+            {_kmeans_iter_sql(0)},
+            {_kmeans_iter_sql(1)},
+            dots AS (SELECT emb.vec_id, c.cell,
+                            list_reduce(list_transform(generate_series(1, 64),
+                                                       j -> emb.e[j] * c.ce[j]),
+                                        (a, b) -> a + b) AS s
+                     FROM emb, cents2 c),
+            c_cell AS (SELECT vec_id AS neighbor_id, cell FROM
+                         (SELECT vec_id, cell,
+                                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+                          FROM dots)
+                       WHERE rn = 1),
+            q_cells AS (SELECT vec_id AS query_id, cell FROM
+                          (SELECT vec_id, cell,
+                                  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+                           FROM dots WHERE vec_id < 5)
+                        WHERE rn <= 3),
+            pairs AS (SELECT DISTINCT query_id, neighbor_id
+                      FROM q_cells q JOIN c_cell c USING (cell)
+                      WHERE neighbor_id != query_id),
+            scored AS (SELECT p.query_id, p.neighbor_id,
+                              list_cosine_similarity(a.e, b.e) AS s
+                       FROM pairs p
+                       JOIN emb a ON a.vec_id = p.query_id
+                       JOIN emb b ON b.vec_id = p.neighbor_id),
+            ranked AS (SELECT query_id, neighbor_id, s,
+                              row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+                       FROM scored)
+            SELECT query_id, neighbor_id, round(s, 6) AS cos_sim, rank::int AS rank
+            FROM ranked WHERE rank <= 10
+        """,
         "ann_ivf": """
             WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
             cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce

@@ -221,6 +221,57 @@ def embedding_oversized_buckets(
     )
 
 
+def _dot_lit(vec: Column, c: list[float]) -> Column:
+    # fold over the literal centroid: one multiply-add chain per dim
+    return sum((vec[i].cast("double") * float(c[i]) for i in range(len(c))), F.lit(0.0))
+
+
+def _top_cells(vec: Column, cents: list[list[float]], n: int) -> Column:
+    """indices of the n largest centroid dots (descending; ties break
+    toward the HIGHER cell via reverse(array_sort))."""
+    scored = F.transform(
+        F.array(*[_dot_lit(vec, c) for c in cents]),
+        lambda s, i: F.struct(s.alias("s"), i.alias("cell")),
+    )
+    return F.slice(F.reverse(F.array_sort(scored)), 1, n).getField("cell")
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd-refined IVF centroids as plain Python lists (VERDICT r3 #5).
+
+    Seeds are the first ``n_centroids`` corpus vectors by id (seed-free,
+    deterministic); each iteration is ONE DataFrame aggregation — assign
+    every vector to its best cell with the centroids baked in as literals
+    (the same JVM-side expression the probe path uses), then per-cell
+    per-dimension means (dim × cells cheap avg aggregates, map-side
+    partial). Only n_centroids × dim doubles ever reach the driver per
+    iteration; at 10^12 vectors the identical loop runs on a sample.
+    Updated centroids are rounded to 6dp so the training is reproducible
+    across engines (the DuckDB oracle twin unrolls the same iterations;
+    raw float sums would differ in association order). Empty cells keep
+    their previous centroid."""
+    first = corpus.orderBy(id_col).limit(n_centroids).collect()
+    cents = [list(r[vec_col]) for r in first]
+    dim = len(cents[0])
+    for _ in range(n_iters):
+        assigned = corpus.select(
+            _top_cells(F.col(vec_col), cents, 1)[0].alias("cell"),
+            F.col(vec_col).alias("vec"),
+        )
+        rows = assigned.groupBy("cell").agg(
+            *[F.avg(F.col("vec")[i].cast("double")).alias(f"d{i}") for i in range(dim)]
+        ).collect()
+        new = {r["cell"]: [round(float(r[f"d{i}"]), 6) for i in range(dim)] for r in rows}
+        cents = [new.get(c, cents[c]) for c in range(n_centroids)]
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -229,37 +280,27 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors are assigned to
     their nearest centroid cell; a query scores only the vectors in its
     ``n_probe`` nearest cells, via an equi-join on cell id.
 
-    Centroids here are the first ``n_centroids`` corpus vectors (seed-free
-    and deterministic); production trains them offline (k-means) and ships
-    them exactly like this — as literal arrays baked into the plan, so cell
-    assignment is a JVM-side expression with NO join against a centroid
-    table. The inverted lists are the join partitioning at 100 TB scale
-    (bucket the table by cell id to make the probe join shuffle-free).
+    ``centroids`` defaults to the first ``n_centroids`` corpus vectors
+    (seed-free and deterministic); pass ``train_ivf_centroids(...)`` output
+    for Lloyd-refined cells (better recall at the same probe cost).
+    Either way centroids ship as literal arrays baked into the plan, so
+    cell assignment is a JVM-side expression with NO join against a
+    centroid table. The inverted lists are the join partitioning at 100 TB
+    scale (bucket the table by cell id to make the probe join shuffle-free).
     """
-    cents = [
+    cents = centroids if centroids is not None else [
         list(r[vec_col])
         for r in corpus.orderBy(id_col).limit(n_centroids).collect()
     ]
 
-    def dot_lit(vec: Column, c: list[float]) -> Column:
-        # fold over the literal centroid: one multiply-add chain per dim
-        return sum((vec[i].cast("double") * float(c[i]) for i in range(len(c))), F.lit(0.0))
-
-    def cell_scores(vec: Column) -> Column:
-        return F.array(*[dot_lit(vec, c) for c in cents])
-
     def top_cells(vec: Column, n: int) -> Column:
-        """indices of the n largest centroid dots (descending)."""
-        scored = F.transform(
-            cell_scores(vec),
-            lambda s, i: F.struct(s.alias("s"), i.alias("cell")),
-        )
-        return F.slice(F.reverse(F.array_sort(scored)), 1, n).getField("cell")
+        return _top_cells(vec, cents, n)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

