@@ -314,6 +314,56 @@ def oversized_buckets(
     )
 
 
+def minhash_signature_col(text: Column, k: int = 12, n: int = 3, hash_fn: str = "md5") -> Column:
+    """Per-ROW MinHash signature as an array<long> column — the streaming
+    twin of ``minhash_signature`` (identical values; tested). Streaming
+    needs it because a groupBy signature aggregate upstream of a stateful
+    operator would chain two stateful stages; here the whole signature is
+    one projection. Shape: hash every shingle ONCE in an inner transform
+    (one md5 per shingle — the accepted simhash16 shape), then k cheap
+    integer-only array_min folds over the hashed array; the expensive
+    subtree is never repeated per permutation (the Catalyst no-CSE pitfall
+    applies to REPEATED expensive lambdas, not to one hash pass)."""
+    sh = shingles_col(text, n)
+    if hash_fn == "md5":
+        h = lambda s: (  # noqa: E731
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % _M32
+        )
+    elif hash_fn == "xxhash64":
+        h = lambda s: F.pmod(F.xxhash64(s), F.lit(_M32))  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash_fn '{hash_fn}'")
+    hashes = F.transform(sh, h)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    hashes, lambda x: (F.lit(_MINHASH_A[i]) * x + F.lit(_MINHASH_B[i])) % _M32
+                )
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def band_keys_col(minhash: Column, bands: int = 4, rows_per_band: int = 3) -> Column:
+    """Per-row band keys: array<struct<band_id,band_key>> — the projection
+    twin of ``banded_signatures`` for streams (explode it downstream)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[minhash[b * rows_per_band + r] for r in range(rows_per_band)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 4,

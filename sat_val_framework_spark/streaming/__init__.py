@@ -1,6 +1,7 @@
 from sat_val_framework_spark.streaming.contamination_stream import streaming_contamination
 from sat_val_framework_spark.streaming.dedup_stream import streaming_dedup
 from sat_val_framework_spark.streaming.drift_stream import streaming_drift
+from sat_val_framework_spark.streaming.neardup_stream import streaming_neardup
 from sat_val_framework_spark.streaming.profile_stream import streaming_profile
 from sat_val_framework_spark.streaming.qc_stream import streaming_schema_assert, streaming_stats
 from sat_val_framework_spark.streaming.session_stream import streaming_sessionize
@@ -13,4 +14,5 @@ __all__ = [
     "streaming_sessionize",
     "streaming_profile",
     "streaming_contamination",
+    "streaming_neardup",
 ]
