@@ -98,9 +98,17 @@ def _ensure_fixture(spark, n_docs: int) -> str:
     return path
 
 
-def suite_throughput(spark, n_docs: int) -> dict:
+def suite_throughput(spark, n_docs: int, reps: int = 1) -> dict:
     """North-rule metric: full DEFAULT_SUITE over the seeded documents table;
-    throughput = docs validated per second (all constraints evaluated)."""
+    throughput = docs validated per second (all constraints evaluated).
+
+    ``reps``>1 reports the MEDIAN run — the same protocol the headline
+    query latencies have always used, for the same reason (single runs on
+    this host swing ±20% with load and the first run at a new size pays
+    one-time JIT of the generated classes; CLAUDE.md's 4M measurement
+    note). All rep timings are returned for transparency."""
+    import statistics
+
     from sat_val_framework_spark.fixtures import baseline_stats_pandas, media_catalog_df
     from sat_val_framework_spark.fused import run_suite_fused
 
@@ -108,11 +116,19 @@ def suite_throughput(spark, n_docs: int) -> dict:
     docs = spark.read.parquet(path)
     catalog = media_catalog_df(spark)
     baseline = baseline_stats_pandas()  # metadata-sized: no Spark jobs for edges
-    t0 = time.time()
-    verdicts = run_suite_fused(spark, docs, catalog, baseline)
-    _materialize(verdicts)
-    dt = time.time() - t0
-    return {"suite_sec": round(dt, 3), "docs": n_docs, "docs_per_sec": round(n_docs / dt, 1)}
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        verdicts = run_suite_fused(spark, docs, catalog, baseline)
+        _materialize(verdicts)
+        times.append(time.time() - t0)
+    dt = statistics.median(times)
+    return {
+        "suite_sec": round(dt, 3),
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / dt, 1),
+        "suite_runs_sec": [round(t, 3) for t in times],
+    }
 
 
 def run_headline(spark, sf_dir: str, reps: int = 3) -> tuple[dict[str, float], dict[str, float]]:
@@ -190,7 +206,7 @@ def main() -> int:
         # warm JVM/JIT/Python workers on a small fixture, then measure full
         _ensure_fixture(spark, BENCH_DOCS)
         warm = suite_throughput(spark, min(BENCH_DOCS, 200_000))
-        res = suite_throughput(spark, BENCH_DOCS)
+        res = suite_throughput(spark, BENCH_DOCS, reps=3)
         res["master"] = master
         res["warmup_sec"] = warm["suite_sec"]
         print(json.dumps(res))
@@ -200,7 +216,7 @@ def main() -> int:
     spark = make_spark(f"local[{CPUS}]")
     queries, spread = run_headline(spark, SF_DIR)
     suite_throughput(spark, min(BENCH_DOCS, 200_000))  # JIT/Python-worker warmup
-    suite = suite_throughput(spark, BENCH_DOCS)
+    suite = suite_throughput(spark, BENCH_DOCS, reps=3)
     total = round(sum(queries.values()) + suite["suite_sec"], 3)
     print(
         json.dumps(

@@ -350,7 +350,7 @@ def _run_fused_passes(
     ) + [F.sum("pv_oob").alias("pv_oob")]
     # n_parts rows only — persist so the four consumers (schema, stats,
     # drift, ref's rows_scanned, uniqueness verdict) share ONE computation
-    # of the pass instead of re-expanding the scan subtree each
+    # of the pass instead of re-expanding the scan subtree each.
     wide_a = l1_a.groupBy("part_id").agg(*merge_a).persist()
 
     # driver-side structural schema comparison — same check the modular
@@ -436,38 +436,48 @@ def _run_fused_passes(
     # quantile constraint from the SAME value counters (exact when every
     # value is inside the counter domain — the pv_oob guard below): the
     # q-quantile of an integer column is fully determined by its value
-    # counts, so the fused path derives percentile_cont from cumulative
-    # counts on n_parts rows, mirroring Spark's Percentile interpolation
-    # ((higher-pos)*lower + (pos-lower)*higher) so the modular
-    # F.percentile twin is bit-identical (shared verdict builder formats
-    # the same %s strings)
+    # counts. The per-part quantile is computed in a tiny Arrow kernel over
+    # the SAME unpivoted histogram rows the drift kernel reads (n_parts x
+    # n_bins rows — metadata) — NOT as Catalyst expressions: cumulative
+    # counts as expression columns either blew the 64KB codegen method
+    # limit (inlined; single expressions can't split across methods) or,
+    # as cached projection columns, cost seconds of driver-side plan work
+    # per run and OOM'd at 2GB when left-deep (O(2^depth) cache-build
+    # pathology, measured: 26 terms 6.7s, 28 terms 24s, 32 OOM). The
+    # kernel mirrors Spark's Percentile interpolation ((higher-pos)*lower
+    # + (pos-lower)*higher) so the modular F.percentile twin is
+    # bit-identical (shared verdict builder formats the same %s strings).
     from sat_val_framework_spark.operators.stats import quantile_verdicts_from_wide
 
-    cum = []
-    run = None
-    for c in pv:
-        run = c if run is None else run + c
-        cum.append(run)
-    pos = (n_obs - 1).cast("double") * F.lit(float(q))
-    lo_i = F.floor(pos)
-    hi_i = F.ceil(pos)
+    qf = float(q)
 
-    def x_at(idx):
-        res = F.lit(None).cast("double")
-        for j in reversed(range(pv_domain)):
-            res = F.when(cum[j] >= idx + 1, F.lit(float(j))).otherwise(res)
-        return res
+    def _q_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        part = int(pdf["part_id"].iloc[0])
+        counts = np.zeros(pv_domain, dtype=np.int64)
+        counts[pdf["bin_id"].to_numpy()] = pdf["c"].to_numpy()
+        n = int(counts.sum())
+        if n == 0:
+            return pd.DataFrame({"part_id": [part], "n_obs": [0], "qv": [None]})
+        pos = qf * (n - 1)
+        lo_i, hi_i = int(np.floor(pos)), int(np.ceil(pos))
+        cum = counts.cumsum()
+        x_lo = float(np.searchsorted(cum, lo_i + 1))
+        if hi_i == lo_i:
+            qv = x_lo
+        else:
+            x_hi = float(np.searchsorted(cum, hi_i + 1))
+            qv = (hi_i - pos) * x_lo + (pos - lo_i) * x_hi
+        return pd.DataFrame({"part_id": [part], "n_obs": [n], "qv": [qv]})
 
-    x_lo, x_hi = x_at(lo_i), x_at(hi_i)
-    qv = F.when(hi_i == lo_i, x_lo).otherwise(
-        (hi_i.cast("double") - pos) * x_lo + (pos - lo_i.cast("double")) * x_hi
+    stack_q = ", ".join(f"{b}, `{pv_prefix}{b}`" for b in range(pv_domain))
+    q_hist = wide_a.selectExpr("part_id", f"stack({pv_domain}, {stack_q}) as (bin_id, c)")
+    q_scores = q_hist.groupBy("part_id").applyInPandas(
+        _q_kernel, schema="part_id int, n_obs long, qv double"
     )
-    q_wide = wide_a.select(
-        "part_id",
-        F.col("rows").alias("rows_scanned"),
-        n_obs.cast("long").alias("n_obs"),
-        F.when(n_obs > 0, qv).alias("qv"),
-        F.col("pv_oob"),
+    q_wide = (
+        wide_a.select("part_id", F.col("rows").alias("rows_scanned"), "pv_oob")
+        .join(q_scores, "part_id")
+        .select("part_id", "rows_scanned", "n_obs", "qv", "pv_oob")
     )
     quantile_ok_v = quantile_verdicts_from_wide(
         q_wide.filter(F.col("pv_oob") == 0).drop("pv_oob"),
