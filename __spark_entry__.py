@@ -279,6 +279,34 @@ def q_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return categorical_drift(e, "event_type", "bucket").select("grp", "n_rows", "tv", "js")
 
 
+def q_categorical_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 'drift_categorical' suite kind's score engine
+    (operators/drift.py:categorical_drift_scores): per-source language-mix
+    drift vs a CONFIGURED categorical baseline — here the corpus-global
+    lang distribution expressed as a (col_name, value, ref_frac) baseline
+    table, the form a suite config ships. Broadcast-spine plan: only
+    distinct (source, lang) pairs cross any shuffle."""
+    from sat_val_framework_spark.operators.drift import categorical_drift_scores
+
+    d = _t(spark, sf_dir, "documents").where(F.col("lang").isNotNull())
+    n_all = d.select(F.count(F.lit(1)).alias("n_all"))
+    bcat = (
+        d.groupBy(F.col("lang").alias("value"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            F.lit("lang").alias("col_name"),
+            "value",
+            (F.col("c") / F.col("n_all")).alias("ref_frac"),
+        )
+    )
+    series = d.select(F.col("source").alias("part_id"), F.col("lang").alias("value"))
+    scores = categorical_drift_scores(series, bcat, "lang", part_col="part_id")
+    return scores.select(
+        "part_id", "n_obs", F.round("tv", 6).alias("tv"), F.round("js", 6).alias("js")
+    )
+
+
 def q_verdict_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B11: errors-as-values — a mini-suite emitting one verdict row per
     (constraint, group), never raising (implement.py:23-56 contract)."""
@@ -951,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_capped": q_lsh_capped,
         "lsh_oversized": q_lsh_oversized,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "categorical_check": q_categorical_check,
         "range_join": q_range_join,
         "sessionize": q_sessionize,
         "rollup_revenue": q_rollup_revenue,
@@ -1273,6 +1302,27 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY grp
         """,
         "drift_ks": _DRIFT_KS_SQL,
+        # drift_categorical suite kind scores: per-source lang mix vs the
+        # corpus-global distribution as a configured baseline; Spark's
+        # spine join has a row for EVERY (source, baseline-lang) pair
+        "categorical_check": """
+            WITH d AS (SELECT source, lang FROM documents WHERE lang IS NOT NULL),
+            tot AS (SELECT count(*) AS n_all FROM d),
+            gdist AS (SELECT lang AS value, count(*) * 1.0 / (SELECT n_all FROM tot) AS q
+                      FROM d GROUP BY lang),
+            obs AS (SELECT source, lang AS value, count(*) AS c FROM d GROUP BY source, lang),
+            totals AS (SELECT source, count(*) AS n_obs FROM d GROUP BY source),
+            m AS (SELECT t.source, t.n_obs,
+                         coalesce(o.c, 0) * 1.0 / t.n_obs AS p, g.q
+                  FROM totals t CROSS JOIN gdist g
+                  LEFT JOIN obs o ON o.source = t.source AND o.value = g.value)
+            SELECT source AS part_id, n_obs::bigint AS n_obs,
+                   round(sum(abs(p - q)) / 2, 6) AS tv,
+                   round(sum(CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END
+                           + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0 END) / 2,
+                         6) AS js
+            FROM m GROUP BY source, n_obs
+        """,
         "categorical_drift": """
             WITH gv AS (SELECT user_id % 10 AS grp,
                                coalesce(event_type, '<NULL>') AS value,

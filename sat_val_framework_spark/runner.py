@@ -122,6 +122,33 @@ def _doc_text(docs: DataFrame, part_col: str) -> DataFrame:
     )
 
 
+def _violation_verdicts(
+    scoped: DataFrame, viol: DataFrame, constraint_id: str, part_col: str
+) -> DataFrame:
+    """Per-partition verdict rows from a (part_id, violation_key) violator
+    frame: exact counts + bounded samples joined onto the scanned-rows
+    spine — the shared shape of every flag-the-rows check (uniqueness's
+    pattern, reused by the repetition and contamination kinds)."""
+    from sat_val_framework_spark.verdicts import FAIL, PASS, bounded_samples
+
+    per_part = scoped.groupBy(F.col(part_col).alias("part_id")).agg(
+        F.count(F.lit(1)).alias("rows_scanned")
+    )
+    viol_agg = bounded_samples(viol, "part_id", "violation_key")
+    return per_part.join(viol_agg, "part_id", "left").select(
+        F.lit(constraint_id).alias("constraint_id"),
+        F.col("part_id"),
+        F.when(F.coalesce(F.col("violation_count"), F.lit(0)) > 0, F.lit(FAIL))
+        .otherwise(F.lit(PASS))
+        .alias("status"),
+        F.col("rows_scanned"),
+        F.coalesce(F.col("violation_count"), F.lit(0)).cast("long").alias("violation_count"),
+        F.coalesce(F.col("sample_violations"), F.array().cast("array<string>")).alias(
+            "sample_violations"
+        ),
+    )
+
+
 def _series_for(docs: DataFrame, column: str, part_col: str) -> DataFrame:
     """Series frame (part_id, value) for a drift column: a registered
     derived series (n_spans/text_len) or, as the general case, any
@@ -358,7 +385,6 @@ def run_suite(
             emit(out, c.params_json, t0)
         elif c.kind == "repetition":
             from sat_val_framework_spark.functions.text import repetition_profile
-            from sat_val_framework_spark.verdicts import bounded_samples
 
             scoped, todo = pending_filter(c.constraint_id, _doc_text(docs, part_col))
             if not todo:
@@ -375,34 +401,13 @@ def run_suite(
             viol = rep.filter(cond).select(
                 F.col(part_col).alias("part_id"), F.col("doc_id").alias("violation_key")
             )
-            per_part = scoped.groupBy(F.col(part_col).alias("part_id")).agg(
-                F.count(F.lit(1)).alias("rows_scanned")
-            )
             if violations_path:
                 ckpt.append_violations(
                     viol, violations_path, run_id, c.constraint_id, key_col="violation_key"
                 )
-            viol_agg = bounded_samples(viol, "part_id", "violation_key")
-            from sat_val_framework_spark.verdicts import FAIL, PASS
-
-            out = per_part.join(viol_agg, "part_id", "left").select(
-                F.lit(c.constraint_id).alias("constraint_id"),
-                F.col("part_id"),
-                F.when(F.coalesce(F.col("violation_count"), F.lit(0)) > 0, F.lit(FAIL))
-                .otherwise(F.lit(PASS))
-                .alias("status"),
-                F.col("rows_scanned"),
-                F.coalesce(F.col("violation_count"), F.lit(0)).cast("long").alias(
-                    "violation_count"
-                ),
-                F.coalesce(F.col("sample_violations"), F.array().cast("array<string>")).alias(
-                    "sample_violations"
-                ),
-            )
-            emit(out, c.params_json, t0)
+            emit(_violation_verdicts(scoped, viol, c.constraint_id, part_col), c.params_json, t0)
         elif c.kind == "contamination":
             from sat_val_framework_spark.functions.dedup import cross_contamination
-            from sat_val_framework_spark.verdicts import FAIL, PASS, bounded_samples
 
             scoped, todo = pending_filter(c.constraint_id, _doc_text(docs, part_col))
             if not todo:
@@ -429,29 +434,11 @@ def run_suite(
                     F.col(part_col).alias("part_id"), F.col("doc_id").alias("violation_key")
                 )
             )
-            per_part = scoped.groupBy(F.col(part_col).alias("part_id")).agg(
-                F.count(F.lit(1)).alias("rows_scanned")
-            )
             if violations_path:
                 ckpt.append_violations(
                     viol, violations_path, run_id, c.constraint_id, key_col="violation_key"
                 )
-            viol_agg = bounded_samples(viol, "part_id", "violation_key")
-            out = per_part.join(viol_agg, "part_id", "left").select(
-                F.lit(c.constraint_id).alias("constraint_id"),
-                F.col("part_id"),
-                F.when(F.coalesce(F.col("violation_count"), F.lit(0)) > 0, F.lit(FAIL))
-                .otherwise(F.lit(PASS))
-                .alias("status"),
-                F.col("rows_scanned"),
-                F.coalesce(F.col("violation_count"), F.lit(0)).cast("long").alias(
-                    "violation_count"
-                ),
-                F.coalesce(F.col("sample_violations"), F.array().cast("array<string>")).alias(
-                    "sample_violations"
-                ),
-            )
-            emit(out, c.params_json, t0)
+            emit(_violation_verdicts(scoped, viol, c.constraint_id, part_col), c.params_json, t0)
         elif c.kind == "quantile":
             from sat_val_framework_spark.operators.stats import quantile_check
 
