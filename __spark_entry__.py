@@ -443,6 +443,18 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_on_pairs(cands, d, threshold=0.03)
 
 
+def q_ngram_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 13-gram benchmark decontamination (dedup.ngram_hits): docs
+    sharing any verbatim 13-gram with the held-out side (doc_id % 7 == 0
+    as the stand-in eval set) — the exact-substring complement of the
+    MinHash contamination query. Distinct-gram equi-join, no pairwise
+    blowup."""
+    d = _t_wide(spark, sf_dir, "documents")
+    docs = d.where(F.col("doc_id") % 7 != 0)
+    ref = d.where(F.col("doc_id") % 7 == 0)
+    return dedup.ngram_hits(docs, ref, n=13)
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signature(_t_wide(spark, sf_dir, "documents"), k=12)
     return dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=3)
@@ -980,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_oversized": q_lsh_oversized,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "categorical_check": q_categorical_check,
+        "ngram_decontam": q_ngram_decontam,
         "range_join": q_range_join,
         "sessionize": q_sessionize,
         "rollup_revenue": q_rollup_revenue,
@@ -1081,6 +1094,15 @@ def _simhash_sql() -> str:
 from sat_val_framework_spark.functions.text import BPE_TOKEN_RE as _BPE_RE
 
 _BPE_RE_SQL = _BPE_RE.replace("'", "''")
+
+def _shingles_sql(n: int) -> str:
+    """Word n-gram shingles over the tokenized column t (the _SHINGLES
+    3-gram literal, generalized)."""
+    return (
+        f"list_transform(generate_series(1, greatest(len(t)-{n - 1}, 1)), "
+        f"j -> array_to_string(list_slice(t, j, j+{n - 1}), ' '))"
+    )
+
 
 # MinHash->LSH banding CTE chain, shared by the minhash_lsh oracle and the
 # dedup_jaccard (LSH->verify) oracle. Mirrors dedup.minhash_signature +
@@ -1440,6 +1462,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE n_inter * 1.0 / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.03
+        """,
+        # exact 13-gram decontamination: distinct grams per side, equi-join
+        "ngram_decontam": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            dg AS (SELECT doc_id, unnest(list_distinct({_shingles_sql(13)})) AS gram
+                   FROM toks WHERE doc_id % 7 != 0),
+            rg AS (SELECT DISTINCT gram FROM
+                     (SELECT unnest(list_distinct({_shingles_sql(13)})) AS gram
+                      FROM toks WHERE doc_id % 7 = 0))
+            SELECT doc_id, count(*)::bigint AS n_hits, min(gram) AS first_gram
+            FROM dg JOIN rg USING (gram) GROUP BY doc_id
         """,
         "minhash_lsh": f"""
             WITH {_LSH_CTES}

@@ -714,6 +714,68 @@ def normalized_duplicates(
     )
 
 
+def ngram_hits(
+    docs: DataFrame,
+    ref: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str = "text",
+) -> DataFrame:
+    """-> (doc_id, n_hits, first_gram): documents sharing at least one
+    EXACT word n-gram with the reference corpus — the classic benchmark
+    decontamination rule (drop a training doc if any 13-gram of it appears
+    in an eval set), the exact-substring complement of the MinHash
+    ``cross_contamination`` (which finds whole-document near-dups; this
+    finds verbatim spans inside otherwise-different documents).
+
+    Scale shape: both sides explode to DISTINCT n-grams and meet in an
+    equi-join on the gram string — a high-cardinality key (13-gram space
+    is effectively unique), so the shuffle is well distributed and there
+    is no pairwise blowup; per-doc hit counts come from one hash-agg.
+    The reference side is deduplicated BEFORE the join so a gram repeated
+    across eval docs costs one build row. At 10^12 docs the ref-gram side
+    is the small one (eval sets are bounded) — Catalyst/AQE broadcasts it
+    when it fits; the plan needs no hint either way. Docs shorter than n
+    tokens contribute their whole text as one gram (shingles_col's floor),
+    so ref docs that ARE verbatim short quotes still match."""
+    d_grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles_col(F.col(text_col), n))).alias("gram"),
+    )
+    r_grams = ref.select(
+        F.explode(F.array_distinct(shingles_col(F.col(ref_text_col), n))).alias("gram")
+    ).distinct()
+    return (
+        d_grams.join(r_grams, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("gram").alias("first_gram"),
+        )
+    )
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    ref: DataFrame,
+    n: int = 13,
+    max_hits: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str = "text",
+) -> DataFrame:
+    """Drop documents with more than ``max_hits`` exact n-gram overlaps
+    with the reference corpus (default: any overlap drops). Left-anti
+    join on the flagged set: clean docs stream through untouched."""
+    flagged = ngram_hits(docs, ref, n, text_col, id_col, ref_text_col).filter(
+        F.col("n_hits") > max_hits
+    )
+    return docs.join(
+        flagged.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    )
+
+
 def cross_contamination(
     corpus_a: DataFrame,
     corpus_b: DataFrame,

@@ -418,3 +418,30 @@ def test_contamination_bucket_cap_keeps_cross_pairs(spark):
     assert {bid for _, bid in got_c if bid != "99"} == {str(80 + i) for i in range(15)}
     # capped output is a bounded subset of the uncapped quadratic one
     assert got_c <= got_u and len(got_c) < len(got_u)
+
+
+def test_ngram_decontamination(spark):
+    """Exact n-gram decontamination: a doc quoting a verbatim n-gram from
+    the reference set is flagged/dropped; paraphrases are not."""
+    from sat_val_framework_spark.functions.dedup import ngram_decontaminate, ngram_hits
+
+    ref = spark.createDataFrame(
+        [("e1", "the capital of france is paris and it is on the seine")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            ("d1", "trivia time the capital of france is paris everyone knows"),  # 5-gram quote
+            ("d2", "paris france capital seine river"),  # same words, no 5-gram run
+            ("d3", "completely unrelated text about gardening and soil quality"),
+        ],
+        ["doc_id", "text"],
+    )
+    hits = {r["doc_id"]: r["n_hits"] for r in ngram_hits(docs, ref, n=5).collect()}
+    assert "d1" in hits and "d2" not in hits and "d3" not in hits
+    kept = {r["doc_id"] for r in ngram_decontaminate(docs, ref, n=5).collect()}
+    assert kept == {"d2", "d3"}
+    # short verbatim ref doc (< n tokens) still matches its whole-text gram
+    short_ref = spark.createDataFrame([("e2", "exact short quote")], ["doc_id", "text"])
+    d4 = spark.createDataFrame([("d4", "exact short quote"), ("d5", "another doc")], ["doc_id", "text"])
+    assert {r["doc_id"] for r in ngram_hits(d4, short_ref, n=13).collect()} == {"d4"}
