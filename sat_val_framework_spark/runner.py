@@ -439,6 +439,30 @@ def run_suite(
                     viol, violations_path, run_id, c.constraint_id, key_col="violation_key"
                 )
             emit(_violation_verdicts(scoped, viol, c.constraint_id, part_col), c.params_json, t0)
+        elif c.kind == "ngram_decontam":
+            from sat_val_framework_spark.functions.dedup import ngram_hits
+
+            scoped, todo = pending_filter(c.constraint_id, _doc_text(docs, part_col))
+            if not todo:
+                skipped.append(c.constraint_id)
+                return
+            # missing reference corpus -> retryable ERROR verdicts, same
+            # errors-as-values contract as the contamination kind
+            ref = spark.read.parquet(c.params["ref_path"])
+            hits = ngram_hits(
+                scoped.select("doc_id", "text"), ref, n=int(c.params.get("n", 13))
+            ).filter(F.col("n_hits") > int(c.params.get("max_hits", 0)))
+            viol = (
+                scoped.join(F.broadcast(hits.select("doc_id")), "doc_id", "left_semi")
+                .select(
+                    F.col(part_col).alias("part_id"), F.col("doc_id").alias("violation_key")
+                )
+            )
+            if violations_path:
+                ckpt.append_violations(
+                    viol, violations_path, run_id, c.constraint_id, key_col="violation_key"
+                )
+            emit(_violation_verdicts(scoped, viol, c.constraint_id, part_col), c.params_json, t0)
         elif c.kind == "quantile":
             from sat_val_framework_spark.operators.stats import quantile_check
 

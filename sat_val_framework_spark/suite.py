@@ -37,6 +37,8 @@ KINDS = frozenset(
         "repetition",     # per-doc Gopher repetition signals thresholded
                           # into per-partition verdicts
         "contamination",  # cross-corpus LSH near-dup vs a reference corpus
+        "ngram_decontam",  # exact word-n-gram overlap vs a reference corpus
+                           # (the 13-gram benchmark decontamination rule)
     }
 )
 
@@ -302,15 +304,22 @@ class CheckSuite:
                         errors.append(
                             SuiteConfigError(f"{c.constraint_id}: params.{p} must be in [0,1]")
                         )
-            if c.kind == "contamination":
+            if c.kind in ("contamination", "ngram_decontam"):
                 if not c.params.get("ref_path") or not isinstance(c.params.get("ref_path"), str):
                     errors.append(
                         SuiteConfigError(f"{c.constraint_id}: params.ref_path (parquet path) required")
                     )
+            if c.kind == "contamination":
                 thr = c.params.get("threshold", 0.8)
                 if not isinstance(thr, (int, float)) or not 0 < thr <= 1:
                     errors.append(
                         SuiteConfigError(f"{c.constraint_id}: params.threshold must be in (0,1]")
+                    )
+            if c.kind == "ngram_decontam":
+                nv = c.params.get("n", 13)
+                if not isinstance(nv, int) or nv < 2:
+                    errors.append(
+                        SuiteConfigError(f"{c.constraint_id}: params.n must be an int >= 2")
                     )
         seen: set[str] = set()
         for c in self.checks:

@@ -163,3 +163,32 @@ def test_drift_categorical_missing_baseline_is_error_value(spark, docs):
     rows = res.verdicts.collect()
     assert rows and {r["status"] for r in rows} == {"ERROR"}
     assert {r["error_kind"] for r in rows} == {"MissingInputError"}
+
+
+def test_ngram_decontam_kind(spark, tmp_path):
+    """Exact n-gram overlap as a declarable constraint: docs quoting the
+    reference corpus verbatim FAIL their partition; resume is a noop."""
+    ref_path = str(tmp_path / "eval.parquet")
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    spark.createDataFrame([("e1", quote)], ["doc_id", "text"]).write.parquet(ref_path)
+    suite = CheckSuite(
+        [Check("ngram_decontam", params={"ref_path": ref_path, "n": 5})]
+    )
+    docs = _mini_docs(
+        spark,
+        {
+            0: ["prefix words then " + quote + " and a suffix", "clean original content here"],
+            1: ["nothing shared with the reference at all today"],
+        },
+    )
+    path = str(tmp_path / "ck")
+    res = run_suite(spark, docs, suite, checkpoint_path=path, run_id="ng1")
+    st = {r["part_id"]: r for r in res.verdicts.collect()}
+    assert st[0]["status"] == "FAIL" and st[0]["sample_violations"] == ["doc-0-0"]
+    assert st[1]["status"] == "PASS"
+    assert res.verdicts.filter("constraint_id != 'ngram_decontam'").count() == 0
+    r2 = run_suite(spark, docs, suite, checkpoint_path=path, run_id="ng1")
+    assert r2.verdicts.count() == 0
+    # config validation: ref_path required, n must be an int >= 2
+    errs = CheckSuite([Check("ngram_decontam", params={"n": 1})]).validate(docs)
+    assert len(errs) == 2
