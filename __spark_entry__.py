@@ -1467,10 +1467,10 @@ def oracle_sql() -> dict[str, str]:
         "ngram_decontam": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
             dg AS (SELECT doc_id, unnest(list_distinct({_shingles_sql(13)})) AS gram
-                   FROM toks WHERE doc_id % 7 != 0),
+                   FROM toks WHERE doc_id % 7 != 0 AND len(t) > 0),
             rg AS (SELECT DISTINCT gram FROM
                      (SELECT unnest(list_distinct({_shingles_sql(13)})) AS gram
-                      FROM toks WHERE doc_id % 7 = 0))
+                      FROM toks WHERE doc_id % 7 = 0 AND len(t) > 0))
             SELECT doc_id, count(*)::bigint AS n_hits, min(gram) AS first_gram
             FROM dg JOIN rg USING (gram) GROUP BY doc_id
         """,

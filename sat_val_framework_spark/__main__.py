@@ -32,6 +32,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from sat_val_framework_spark.fixtures import (
         N_MEDIA,
+        baseline_kinds_df,
         baseline_stats_df,
         media_catalog_df,
     )
@@ -41,6 +42,11 @@ def main(argv: list[str] | None = None) -> int:
     docs = spark.read.parquet(args.docs)
     catalog = media_catalog_df(spark, args.n_media or N_MEDIA)
     baseline = baseline_stats_df(spark)
+    # categorical baseline for DEFAULT_SUITE's drift_categorical:kind —
+    # without it every run would emit retryable MissingInputError verdicts
+    # for that check and a checkpointed run could never complete (review
+    # finding r4)
+    baseline_cat = baseline_kinds_df(spark)
 
     if args.fused:
         import time
@@ -72,6 +78,7 @@ def main(argv: list[str] | None = None) -> int:
             DEFAULT_SUITE,
             catalog=catalog,
             baseline=baseline,
+            baseline_cat=baseline_cat,
             checkpoint_path=args.checkpoint,
             violations_path=args.violations,
             run_id=args.run_id,

@@ -738,14 +738,23 @@ def ngram_hits(
     is the small one (eval sets are bounded) — Catalyst/AQE broadcasts it
     when it fits; the plan needs no hint either way. Docs shorter than n
     tokens contribute their whole text as one gram (shingles_col's floor),
-    so ref docs that ARE verbatim short quotes still match."""
-    d_grams = docs.select(
+    so ref docs that ARE verbatim short quotes still match. TOKEN-LESS
+    (NULL/empty/whitespace) docs are dropped on BOTH sides up front: the
+    shingle floor would give them all the identical '' gram, so one empty
+    reference row would otherwise flag every empty training doc as
+    contaminated (the same empty-doc clique guard cross_contamination
+    carries — an empty doc cannot leak content; review finding r4)."""
+    d_grams = docs.where(F.size(tokens_col(F.col(text_col))) > 0).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles_col(F.col(text_col), n))).alias("gram"),
     )
-    r_grams = ref.select(
-        F.explode(F.array_distinct(shingles_col(F.col(ref_text_col), n))).alias("gram")
-    ).distinct()
+    r_grams = (
+        ref.where(F.size(tokens_col(F.col(ref_text_col))) > 0)
+        .select(
+            F.explode(F.array_distinct(shingles_col(F.col(ref_text_col), n))).alias("gram")
+        )
+        .distinct()
+    )
     return (
         d_grams.join(r_grams, "gram")
         .groupBy("doc_id")

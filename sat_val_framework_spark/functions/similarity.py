@@ -258,7 +258,12 @@ def train_ivf_centroids(
     their previous centroid."""
     first = corpus.orderBy(id_col).limit(n_centroids).collect()
     cents = [list(r[vec_col]) for r in first]
+    if not cents:
+        raise ValueError("train_ivf_centroids: empty corpus")
     dim = len(cents[0])
+    # a corpus smaller than n_centroids seeds fewer cells — iterate over
+    # the cells that exist (indexing range(n_centroids) raised IndexError
+    # on the dict-default; review finding r4)
     for _ in range(n_iters):
         assigned = corpus.select(
             _top_cells(F.col(vec_col), cents, 1)[0].alias("cell"),
@@ -268,7 +273,7 @@ def train_ivf_centroids(
             *[F.avg(F.col("vec")[i].cast("double")).alias(f"d{i}") for i in range(dim)]
         ).collect()
         new = {r["cell"]: [round(float(r[f"d{i}"]), 6) for i in range(dim)] for r in rows}
-        cents = [new.get(c, cents[c]) for c in range(n_centroids)]
+        cents = [new.get(c, cents[c]) for c in range(len(cents))]
     return cents
 
 

@@ -289,6 +289,14 @@ def categorical_drift_scores(
     bvals = baseline_cat.filter(F.col("col_name") == col_name).select(
         F.col("value"), F.col("ref_frac").cast("double").alias("q")
     )
+    # driver-side guard, same contract as baseline_edges (numeric drift)
+    # and the fused twin: an empty baseline for the column is a CONFIG
+    # error (raised -> retryable MissingInput verdict via the runner), not
+    # uniform tv=0.5 drift — and with an empty spine, presence-marker-only
+    # partitions would silently lose their verdict row and stay pending on
+    # every resume (review finding r4). The baseline is metadata-sized.
+    if bvals.limit(1).count() == 0:
+        raise ValueError(f"no baseline_cat rows for column '{col_name}'")
     v = F.col(value_col)
     obs = (
         series.filter(v.isNotNull())

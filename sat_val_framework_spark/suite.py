@@ -67,8 +67,11 @@ class Check:
             # 'unique:source,doc_id' (stripped components), so a raw
             # 'source, doc_id' here would never match its verdicts and
             # checkpoint resume would re-run the check forever (ADVICE r3 —
-            # the CLAUDE.md constraint-id gotcha, composite-unique flavor)
-            col = ",".join(k.strip() for k in col.split(","))
+            # the CLAUDE.md constraint-id gotcha, composite-unique flavor).
+            # No leaf-split for composites: 'a,b.c'.split('.')[-1] would
+            # mangle the id to 'c' while the operator emits the full tuple
+            # (review finding r4; validate also rejects dotted components)
+            return f"{self.kind}:{','.join(k.strip() for k in col.split(','))}"
         # leaf name: 'spans.media_ref' -> 'ref:media_ref' (FIXTURES.md §4 ids)
         return f"{self.kind}:{col.split('.')[-1]}"
 
@@ -153,6 +156,18 @@ class CheckSuite:
                     if c.kind == "unique"
                     else [c.column]
                 )
+                if c.kind == "unique" and any("." in k for k in parts):
+                    # dotted components break constraint-id parity: the
+                    # operator embeds the full path, Check.constraint_id
+                    # the leaf — the resume-forever class (mirrors the fd
+                    # kind's dot rejection; review finding r4)
+                    errors.append(
+                        SuiteConfigError(
+                            f"{c.constraint_id}: unique key components must be dot-free "
+                            f"top-level columns, got '{c.column}'"
+                        )
+                    )
+                    continue
                 for col in parts:
                     if col not in derived and _field_type(schema, col) is None:
                         errors.append(

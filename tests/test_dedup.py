@@ -445,3 +445,17 @@ def test_ngram_decontamination(spark):
     short_ref = spark.createDataFrame([("e2", "exact short quote")], ["doc_id", "text"])
     d4 = spark.createDataFrame([("d4", "exact short quote"), ("d5", "another doc")], ["doc_id", "text"])
     assert {r["doc_id"] for r in ngram_hits(d4, short_ref, n=13).collect()} == {"d4"}
+
+
+def test_ngram_hits_ignores_token_less_docs(spark):
+    """Review r4: one empty reference row must not flag every empty
+    training doc via the shared '' sentinel gram."""
+    from sat_val_framework_spark.functions.dedup import ngram_hits
+
+    ref = spark.createDataFrame([("e1", ""), ("e2", "real reference text here")], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [("d1", ""), ("d2", "   "), ("d3", None), ("d4", "real reference text here now")],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"] for r in ngram_hits(docs, ref, n=4).collect()}
+    assert got == {"d4"}

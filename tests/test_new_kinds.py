@@ -192,3 +192,16 @@ def test_ngram_decontam_kind(spark, tmp_path):
     # config validation: ref_path required, n must be an int >= 2
     errs = CheckSuite([Check("ngram_decontam", params={"n": 1})]).validate(docs)
     assert len(errs) == 2
+
+
+def test_drift_categorical_empty_baseline_is_error_value(spark, docs, baseline_cat):
+    """Review r4: a baseline with no rows for the column is a CONFIG error
+    (retryable MissingInput verdicts), not uniform tv=0.5 drift."""
+    from pyspark.sql import functions as Fn
+
+    wrong = baseline_cat.withColumn("col_name", Fn.lit("span_kind"))  # never 'kind'
+    suite = CheckSuite([Check("drift_categorical", "kind", {"tv_threshold": 0.1})])
+    res = run_suite(spark, docs, suite, baseline_cat=wrong)
+    rows = res.verdicts.collect()
+    assert rows and {r["status"] for r in rows} == {"ERROR"}
+    assert {r["error_kind"] for r in rows} == {"MissingInputError"}

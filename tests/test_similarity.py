@@ -174,3 +174,18 @@ def test_ivf_kmeans_training_improves_recall_over_first_n(spark):
     assert r_trained >= 0.55
     # training is deterministic: same input -> same centroids
     assert trained == train_ivf_centroids(emb, n_centroids=16, n_iters=3)
+
+
+def test_train_ivf_centroids_short_corpus(spark):
+    """Review r4: a corpus smaller than n_centroids trains over the cells
+    that exist instead of raising IndexError."""
+    from sat_val_framework_spark.functions.similarity import ivf_topk, train_ivf_centroids
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5 - 2) for j in range(8)]) for i in range(10)],
+        "vec_id int, embedding array<float>",
+    )
+    cents = train_ivf_centroids(emb, n_centroids=16, n_iters=2)
+    assert len(cents) == 10
+    out = ivf_topk(emb, emb.filter("vec_id < 2"), k=3, n_probe=2, centroids=cents)
+    assert out.count() > 0

@@ -129,3 +129,14 @@ def test_profile_text_len_rejected_driver_side(docs):
     assert len(errs) == 1 and "text_len" in str(errs[0])
     # n_spans stays accepted
     assert CheckSuite([Check("profile", "n_spans", {"max_top_share": 0.9})]).validate(docs) == []
+
+
+def test_unique_dotted_components_rejected(docs):
+    """Review r4: dotted unique components would make the operator's id
+    ('unique:spans.media_ref') diverge from Check.constraint_id's leaf —
+    rejected driver-side like the fd kind's dot rule."""
+    for col in ("spans.media_ref", "doc_id,spans.kind"):
+        errs = CheckSuite([Check("unique", col)]).validate(docs)
+        assert len(errs) == 1 and "dot-free" in str(errs[0]), col
+    # composite ids never leaf-split (even un-validated ad-hoc use)
+    assert Check("unique", "a,b.c").constraint_id == "unique:a,b.c"
