@@ -307,6 +307,24 @@ def q_categorical_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 snapshot semantics under the driver's value-hash gate: write two
+    snapshots of disjoint documents subsets into a fresh table dir, then
+    TIME-TRAVEL back to snapshot 1 — the returned rows must be exactly the
+    first subset even though the table has since grown (manifest-pinned
+    file listing; sources/snapshots.py). The oracle is the plain first
+    subset: equality IS the time-travel guarantee."""
+    import tempfile
+
+    from sat_val_framework_spark.sources.snapshots import read_snapshot, write_snapshot
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    tbl = tempfile.mkdtemp(prefix="tt_tbl_") + "/t"
+    s1 = write_snapshot(d.where(F.col("doc_id") % 3 == 0), tbl)
+    write_snapshot(d.where(F.col("doc_id") % 3 == 1), tbl, mode="append")
+    return read_snapshot(spark, tbl, s1)
+
+
 def q_verdict_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B11: errors-as-values — a mini-suite emitting one verdict row per
     (constraint, group), never raising (implement.py:23-56 contract)."""
@@ -993,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "categorical_check": q_categorical_check,
         "ngram_decontam": q_ngram_decontam,
+        "snapshot_travel": q_snapshot_travel,
         "range_join": q_range_join,
         "sessionize": q_sessionize,
         "rollup_revenue": q_rollup_revenue,
@@ -1462,6 +1481,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE n_inter * 1.0 / (sa.n_shingles + sb.n_shingles - n_inter) >= 0.03
+        """,
+        # time travel: reading snapshot 1 after an append must return
+        # exactly the first write's rows
+        "snapshot_travel": """
+            SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 3 = 0
         """,
         # exact 13-gram decontamination: distinct grams per side, equi-join
         "ngram_decontam": f"""
