@@ -314,12 +314,21 @@ def q_snapshot_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     first subset even though the table has since grown (manifest-pinned
     file listing; sources/snapshots.py). The oracle is the plain first
     subset: equality IS the time-travel guarantee."""
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
     from sat_val_framework_spark.sources.snapshots import read_snapshot, write_snapshot
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    tbl = tempfile.mkdtemp(prefix="tt_tbl_") + "/t"
+    # fixed per-sf dir, wiped before each build: the returned frame is
+    # read lazily by the driver AFTER this function returns, so the files
+    # must outlive the call — but reusing one path bounds the leak to a
+    # single table per sf instead of one per invocation (review r4)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tbl = os.path.join(tempfile.gettempdir(), f"sat_val_tt_{tag}", "t")
+    shutil.rmtree(os.path.dirname(tbl), ignore_errors=True)
     s1 = write_snapshot(d.where(F.col("doc_id") % 3 == 0), tbl)
     write_snapshot(d.where(F.col("doc_id") % 3 == 1), tbl, mode="append")
     return read_snapshot(spark, tbl, s1)

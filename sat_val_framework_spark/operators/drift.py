@@ -289,14 +289,6 @@ def categorical_drift_scores(
     bvals = baseline_cat.filter(F.col("col_name") == col_name).select(
         F.col("value"), F.col("ref_frac").cast("double").alias("q")
     )
-    # driver-side guard, same contract as baseline_edges (numeric drift)
-    # and the fused twin: an empty baseline for the column is a CONFIG
-    # error (raised -> retryable MissingInput verdict via the runner), not
-    # uniform tv=0.5 drift — and with an empty spine, presence-marker-only
-    # partitions would silently lose their verdict row and stay pending on
-    # every resume (review finding r4). The baseline is metadata-sized.
-    if bvals.limit(1).count() == 0:
-        raise ValueError(f"no baseline_cat rows for column '{col_name}'")
     v = F.col(value_col)
     obs = (
         series.filter(v.isNotNull())
@@ -352,7 +344,21 @@ def categorical_drift_check(
 ) -> tuple[DataFrame, DataFrame]:
     """-> (verdicts, scores) for categorical drift vs a configured baseline
     — the 'drift_categorical' suite kind (A6/A11 realized for unordered
-    columns: event types, sources, span kinds, language codes)."""
+    columns: event types, sources, span kinds, language codes).
+
+    Eagerly rejects a baseline with no rows for ``col_name`` (driver-side
+    probe — CONFIGURED baselines are metadata-sized, same contract as
+    baseline_edges and the fused twin): a misnamed col_name would
+    otherwise score uniform tv=0.5 everywhere, and presence-marker-only
+    partitions would lose their verdict row entirely (pending on every
+    resume). Callers that derive the baseline from a big frame and know
+    it is non-empty use ``categorical_drift_scores`` directly — the probe
+    lives HERE, not in the scores builder, so the score path never pays
+    an extra job (review finding r4)."""
+    if (
+        baseline_cat.filter(F.col("col_name") == col_name).limit(1).count() == 0
+    ):
+        raise ValueError(f"no baseline_cat rows for column '{col_name}'")
     scores = categorical_drift_scores(series, baseline_cat, col_name, part_col, value_col)
     return (
         categorical_verdicts_from_scores(

@@ -257,6 +257,17 @@ def run_suite(
             ckpt.append_verdicts(v, checkpoint_path)
         collected.append(v)
 
+    def emit_doc_violations(scoped: DataFrame, viol: DataFrame, c: Check, t0: float) -> None:
+        """Shared tail of every flag-the-docs kind (repetition,
+        contamination, ngram_decontam): append the violator rows, emit the
+        standard per-partition verdicts — one place to change the
+        violations/sampling contract (review finding r4)."""
+        if violations_path:
+            ckpt.append_violations(
+                viol, violations_path, run_id, c.constraint_id, key_col="violation_key"
+            )
+        emit(_violation_verdicts(scoped, viol, c.constraint_id, part_col), c.params_json, t0)
+
     def run_check(c: Check, t0: float) -> None:
         if c.kind == "schema_assert":
             scoped, todo = pending_filter(c.constraint_id, docs)
@@ -401,11 +412,7 @@ def run_suite(
             viol = rep.filter(cond).select(
                 F.col(part_col).alias("part_id"), F.col("doc_id").alias("violation_key")
             )
-            if violations_path:
-                ckpt.append_violations(
-                    viol, violations_path, run_id, c.constraint_id, key_col="violation_key"
-                )
-            emit(_violation_verdicts(scoped, viol, c.constraint_id, part_col), c.params_json, t0)
+            emit_doc_violations(scoped, viol, c, t0)
         elif c.kind == "contamination":
             from sat_val_framework_spark.functions.dedup import cross_contamination
 
@@ -434,11 +441,7 @@ def run_suite(
                     F.col(part_col).alias("part_id"), F.col("doc_id").alias("violation_key")
                 )
             )
-            if violations_path:
-                ckpt.append_violations(
-                    viol, violations_path, run_id, c.constraint_id, key_col="violation_key"
-                )
-            emit(_violation_verdicts(scoped, viol, c.constraint_id, part_col), c.params_json, t0)
+            emit_doc_violations(scoped, viol, c, t0)
         elif c.kind == "ngram_decontam":
             from sat_val_framework_spark.functions.dedup import ngram_hits
 
@@ -458,11 +461,7 @@ def run_suite(
                     F.col(part_col).alias("part_id"), F.col("doc_id").alias("violation_key")
                 )
             )
-            if violations_path:
-                ckpt.append_violations(
-                    viol, violations_path, run_id, c.constraint_id, key_col="violation_key"
-                )
-            emit(_violation_verdicts(scoped, viol, c.constraint_id, part_col), c.params_json, t0)
+            emit_doc_violations(scoped, viol, c, t0)
         elif c.kind == "quantile":
             from sat_val_framework_spark.operators.stats import quantile_check
 

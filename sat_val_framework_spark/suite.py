@@ -336,6 +336,14 @@ class CheckSuite:
                     errors.append(
                         SuiteConfigError(f"{c.constraint_id}: params.n must be an int >= 2")
                     )
+                mh = c.params.get("max_hits", 0)
+                if not isinstance(mh, int) or mh < 0:
+                    # a string would raise mid-job (int() cast -> retryable
+                    # ERROR re-run forever), a float silently truncates —
+                    # reject both eagerly like the quantile bounds
+                    errors.append(
+                        SuiteConfigError(f"{c.constraint_id}: params.max_hits must be an int >= 0")
+                    )
         seen: set[str] = set()
         for c in self.checks:
             if c.constraint_id in seen:
