@@ -28,6 +28,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--master", default=None, help="override master (default from env)")
     p.add_argument("--fused", action="store_true", help="fused 3-scan execution (no resume)")
     p.add_argument("--n-media", type=int, default=None, help="media catalog size (fixture)")
+    p.add_argument("--catalog", default=None, help="media catalog parquet (default: fixture)")
+    p.add_argument("--baseline", default=None, help="baseline_stats parquet (default: fixture)")
+    p.add_argument(
+        "--baseline-cat", default=None, help="categorical baseline parquet (default: fixture)"
+    )
     args = p.parse_args(argv)
 
     from sat_val_framework_spark.fixtures import (
@@ -40,13 +45,25 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="sat_val_qc", master=args.master)
     docs = spark.read.parquet(args.docs)
-    catalog = media_catalog_df(spark, args.n_media or N_MEDIA)
-    baseline = baseline_stats_df(spark)
-    # categorical baseline for DEFAULT_SUITE's drift_categorical:kind —
-    # without it every run would emit retryable MissingInputError verdicts
-    # for that check and a checkpointed run could never complete (review
-    # finding r4)
-    baseline_cat = baseline_kinds_df(spark)
+    # dimension inputs: real parquet paths in production, the seeded
+    # fixtures as the no-flag default (so `--docs <fixture-shaped table>`
+    # alone runs end-to-end). The categorical baseline is REQUIRED by
+    # DEFAULT_SUITE's drift_categorical:kind — without it every run would
+    # emit retryable MissingInputError verdicts for that check and a
+    # checkpointed run could never complete (review finding r4)
+    catalog = (
+        spark.read.parquet(args.catalog)
+        if args.catalog
+        else media_catalog_df(spark, args.n_media or N_MEDIA)
+    )
+    baseline = (
+        spark.read.parquet(args.baseline) if args.baseline else baseline_stats_df(spark)
+    )
+    baseline_cat = (
+        spark.read.parquet(args.baseline_cat)
+        if args.baseline_cat
+        else baseline_kinds_df(spark)
+    )
 
     if args.fused:
         import time
@@ -60,6 +77,7 @@ def main(argv: list[str] | None = None) -> int:
             docs,
             catalog,
             baseline,
+            baseline_cat=baseline_cat,
             checkpoint_path=args.checkpoint,
             run_id=args.run_id or "fused",
         )
