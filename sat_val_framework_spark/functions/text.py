@@ -210,8 +210,13 @@ def repetition_profile(
     at −7.6% in fused Pass C). ``explode_outer`` keeps docs with no
     bigrams. Token-less and NULL docs get NULL fractions (undefined, not
     0 — the callers' NULL-handling decides)."""
-    carry = list(carry_cols or [])  # constants per doc: ride the aggs via
-    # first() in both levels (same trick as __dwf) — no join-back needed
+    carry = list(carry_cols or [])  # GROUPING keys, not first()-carried
+    # constants: with duplicate doc_ids spanning partitions (exactly the
+    # defect the unique/fd checks model) a first()-carry merges the two
+    # docs' tokens into one profile and picks the partition
+    # nondeterministically (advice r4) — keying both agg levels on
+    # (carry, doc_id) keeps one profile per physical document at the same
+    # shuffle width (the composite key is a superset of doc_id)
     toks = tokens_col(F.col(text_col))
     base = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -234,18 +239,18 @@ def repetition_profile(
             )
         ).alias("bigram"),
     )
-    per_big = rows.groupBy("doc_id", "bigram").agg(
+    per_big = rows.groupBy("doc_id", *carry, "bigram").agg(
         F.count(F.lit(1)).alias("c"),
-        F.first("__dwf").alias("__dwf"),
-        *[F.first(c).alias(c) for c in carry],
+        # min, not first: deterministic even if the SAME (carry, doc_id)
+        # key still holds several rows (min ignores NULL __dwf rows)
+        F.min("__dwf").alias("__dwf"),
     )
     has_big = F.col("bigram").isNotNull()
-    return per_big.groupBy("doc_id").agg(
-        F.round(F.first("__dwf"), 6).alias("dup_word_frac"),
+    return per_big.groupBy("doc_id", *carry).agg(
+        F.round(F.min("__dwf"), 6).alias("dup_word_frac"),
         F.round(
             F.max(F.when(has_big, F.col("c")))
             / F.sum(F.when(has_big, F.col("c"))),
             6,
         ).alias("top_bigram_frac"),
-        *[F.first(c).alias(c) for c in carry],
     )

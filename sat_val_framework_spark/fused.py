@@ -285,6 +285,15 @@ def _run_fused_passes(
     ]
     if not cats:
         raise ValueError("baseline_cat has no rows for col_name='kind'")
+    if any(q <= 0 for _, q in cats):
+        # a ref_frac=0 category would put 0*log(0/m) = NaN into the js
+        # sum (the modular path's when(q>0) guard never ships such a row
+        # a term at all) — reject eagerly like the empty-baseline case so
+        # fused and modular cannot silently diverge (advice r4)
+        raise ValueError(
+            "baseline_cat ref_frac must be > 0 for every category "
+            "(drop zero-mass rows; they carry no drift information)"
+        )
     bpd = _baseline_pd(baseline)
     lo_ns, w_ns, nb_ns = _edges_pd(bpd, "n_spans")
     lo_tl, w_tl, nb_tl = _edges_pd(bpd, "text_len")

@@ -122,6 +122,23 @@ def _doc_text(docs: DataFrame, part_col: str) -> DataFrame:
     )
 
 
+def _rid_keyed(scoped: DataFrame, part_col: str) -> DataFrame:
+    """(part, doc_id, text, __rid) with __rid = '<part>\\x1f<doc_id>': the
+    physical-row key the text-similarity kinds (contamination,
+    ngram_decontam) hand to dedup functions instead of the raw doc_id —
+    duplicate doc_ids spanning partitions (exactly the defect the
+    unique/fd checks model) must profile separately, not merge their texts
+    under one key with nondeterministic partition attribution (advice r4).
+    \\x1f never occurs in ids; a collision could only merge keys that were
+    already equal."""
+    return scoped.withColumn(
+        "__rid",
+        F.concat_ws(
+            "\x1f", F.col(part_col).cast("string"), F.col("doc_id").cast("string")
+        ),
+    )
+
+
 def _violation_verdicts(
     scoped: DataFrame, viol: DataFrame, constraint_id: str, part_col: str
 ) -> DataFrame:
@@ -424,23 +441,64 @@ def run_suite(
             # a retryable ERROR verdict (errors-as-values) via run_check's
             # catch — resume retries after the path is fixed
             ref = spark.read.parquet(c.params["ref_path"])
+            # key on (part, doc) — duplicate doc_ids spanning partitions
+            # (the defect the unique check models) must NOT merge texts
+            # into one LSH signature / nondeterministic attribution
+            # (advice r4); \x1f cannot occur in the fixtures' ids and a
+            # collision would only merge two already-identical keys
+            keyed = _rid_keyed(scoped, part_col)
+            max_bucket = c.params.get("max_bucket_size")
             pairs = cross_contamination(
-                scoped.select("doc_id", "text"),
+                keyed.select(F.col("__rid").alias("doc_id"), "text"),
                 ref,
                 threshold=float(c.params.get("threshold", 0.8)),
-                max_bucket_size=c.params.get("max_bucket_size"),
+                max_bucket_size=max_bucket,
             )
-            hits = pairs.select(F.col("a_id").alias("__k")).distinct()
+            hits = pairs.select(F.col("a_id").alias("__rid")).distinct()
             # contaminated docs are FEW relative to the corpus (else the
             # corpus IS the benchmark) — broadcast the hit set back for
             # partition attribution, same rationale as uniqueness_check
-            viol = (
-                scoped.withColumn("__k", F.col("doc_id").cast("string"))
-                .join(F.broadcast(hits), "__k", "left_semi")
-                .select(
-                    F.col(part_col).alias("part_id"), F.col("doc_id").alias("violation_key")
-                )
+            viol = keyed.join(F.broadcast(hits), "__rid", "left_semi").select(
+                F.col(part_col).alias("part_id"), F.col("doc_id").alias("violation_key")
             )
+            if max_bucket is not None and violations_path:
+                # no-silent-caps contract (dedup.py): when a cap can
+                # degrade recall, the oversized-bucket audit is persisted
+                # NEXT TO the capped output so the degradation is
+                # queryable, never inferred (advice r4). Rebuilds the
+                # union signatures with cross_contamination's exact
+                # prefixing + token-less filter, so the audited buckets
+                # are the ones the capped join actually saw; the extra
+                # LSH pass is opt-in with the cap itself.
+                from sat_val_framework_spark.functions.dedup import (
+                    lsh_oversized_buckets,
+                    minhash_signature,
+                )
+                from sat_val_framework_spark.functions.text import tokens_col
+
+                def _pfx(df: DataFrame, tag: str) -> DataFrame:
+                    return df.where(
+                        F.size(tokens_col(F.col("text"))) > 0
+                    ).select(
+                        F.concat(F.lit(tag), F.col("doc_id").cast("string")).alias(
+                            "doc_id"
+                        ),
+                        "text",
+                    )
+
+                both = _pfx(
+                    keyed.select(F.col("__rid").alias("doc_id"), "text"), "a:"
+                ).unionByName(_pfx(ref.select("doc_id", "text"), "b:"))
+                audit = lsh_oversized_buckets(
+                    minhash_signature(both), max_bucket_size=int(max_bucket)
+                )
+                ckpt.append_violations(
+                    audit,
+                    violations_path,
+                    run_id,
+                    c.constraint_id + "#oversized_buckets",
+                    key_col="band_key",
+                )
             emit_doc_violations(scoped, viol, c, t0)
         elif c.kind == "ngram_decontam":
             from sat_val_framework_spark.functions.dedup import ngram_hits
@@ -452,14 +510,19 @@ def run_suite(
             # missing reference corpus -> retryable ERROR verdicts, same
             # errors-as-values contract as the contamination kind
             ref = spark.read.parquet(c.params["ref_path"])
+            # physical-row key: duplicate doc_ids must not pool their
+            # n-gram hit counts across partitions (advice r4)
+            keyed = _rid_keyed(scoped, part_col)
             hits = ngram_hits(
-                scoped.select("doc_id", "text"), ref, n=int(c.params.get("n", 13))
+                keyed.select(F.col("__rid").alias("doc_id"), "text"), ref,
+                n=int(c.params.get("n", 13)),
             ).filter(F.col("n_hits") > int(c.params.get("max_hits", 0)))
-            viol = (
-                scoped.join(F.broadcast(hits.select("doc_id")), "doc_id", "left_semi")
-                .select(
-                    F.col(part_col).alias("part_id"), F.col("doc_id").alias("violation_key")
-                )
+            viol = keyed.join(
+                F.broadcast(hits.select(F.col("doc_id").alias("__rid"))),
+                "__rid",
+                "left_semi",
+            ).select(
+                F.col(part_col).alias("part_id"), F.col("doc_id").alias("violation_key")
             )
             emit_doc_violations(scoped, viol, c, t0)
         elif c.kind == "quantile":

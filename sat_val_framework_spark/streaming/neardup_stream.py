@@ -10,9 +10,10 @@ bounds. The signature itself is computed per row as a pure projection
 (``minhash_signature_col``) because a groupBy signature aggregate upstream
 of ``applyInPandasWithState`` would chain two stateful stages.
 
-Semantics (tested equal to the batch path): the union over arrival order
-of (new member x existing members) plus within-batch pairs IS the set of
-all unordered pairs per bucket — so the stream's cumulative output equals
+Semantics — UNCAPPED case (tested equal to the batch path): the union
+over arrival order of (new member x existing members) plus within-batch
+pairs IS the set of all unordered pairs per bucket — so, as long as no
+bucket exceeds ``max_bucket_size``, the stream's cumulative output equals
 ``lsh_candidate_pairs`` on the union of all batches (modulo the global
 .distinct(): a pair agreeing on several bands is emitted once per band
 here; downstream set-union or a distinct-on-read collapses it).
@@ -20,10 +21,17 @@ here; downstream set-union or a distinct-on-read collapses it).
 Scale/state bound: ``max_bucket_size`` caps state per key. Once a bucket
 is full, later arrivals pair ONLY with the bucket's hub (its minimum
 member) and are NOT appended — state per key never exceeds the cap and a
-boilerplate family degrades to hub-star pairs, mirroring
+boilerplate family degrades to hub-star pairs in the spirit of
 ``capped_bucket_pairs``'s star mode (connectivity preserved for
-clustering). The state store shards by bucket key like a shuffle — no
-global structure, no driver state.
+clustering). The CAPPED semantics deliberately DIVERGE from the batch
+path (advice r4): arrival order decides who got in before the cap, so the
+first ``max_bucket_size`` arrivals do full all-pairs among themselves and
+the hub is the minimum of those FIRST arrivals — batch star mode instead
+all-pairs nothing and hubs on the bucket's GLOBAL minimum id. An
+order-independent cap would need the stream to re-sort history it has, by
+design, already discarded. The state store shards by bucket key like a
+shuffle — no global structure, no driver state (pairs sink to parquet via
+``sink_path``; the memory sink is a test-only option).
 """
 
 from __future__ import annotations
@@ -88,12 +96,19 @@ def streaming_neardup(
     bands: int = 4,
     rows_per_band: int = 3,
     max_bucket_size: int = 1000,
+    sink_path: str | None = None,
 ) -> StreamingQuery:
     """Stream documents from a directory; emit MinHash-LSH candidate pairs
     across ALL micro-batches (doc text = the doc's text spans joined by
     ' ', matching the batch pipeline's _doc_text convention). Docs with no
     tokens are dropped up front (the empty-shingle sentinel would clique
-    them — same guard as cross_contamination)."""
+    them — same guard as cross_contamination).
+
+    ``sink_path``: parquet sink directory (checkpoint lands beside it at
+    ``<sink_path>_ckpt``) — the production path, like the other monitors'
+    file sinks; executors write pairs directly, nothing accumulates on the
+    driver. ``sink_path=None`` falls back to the in-memory table sink
+    (driver-resident, unbounded) — TEST-ONLY (advice r4)."""
     stream = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files)
@@ -123,6 +138,15 @@ def streaming_neardup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    if sink_path is not None:
+        return (
+            pairs.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink_path)
+            .option("checkpointLocation", sink_path + "_ckpt")
+            .queryName(query_name)
+            .start()
+        )
     return (
         pairs.writeStream.outputMode("append")
         .format("memory")

@@ -168,3 +168,21 @@ def test_profile_constraint_fails_on_degenerate_column_both_paths(spark, catalog
         assert mk[p]["sample_violations"] == fk[p]["sample_violations"]
         assert any(s.startswith("top_share=1.0>") for s in mk[p]["sample_violations"])
         assert any(s.startswith("entropy=") for s in mk[p]["sample_violations"])
+
+
+def test_fused_rejects_zero_mass_baseline_category(spark, docs, catalog, baseline, baseline_cat):
+    """Advice r4: a ref_frac=0 baseline row would put 0*log(0) = NaN into
+    the fused js counters while the modular path's when(q>0) guard skips
+    the term — reject eagerly instead of silently diverging."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    bad = baseline_cat.unionByName(
+        baseline_cat.limit(1).select(
+            F.col("col_name"), F.lit("video").alias("value"), F.lit(0.0).alias("ref_frac")
+        )
+    )
+    with pytest.raises(ValueError, match="ref_frac"):
+        run_suite_fused(
+            spark, docs, catalog=catalog, baseline=baseline, baseline_cat=bad
+        )

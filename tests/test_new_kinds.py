@@ -205,3 +205,74 @@ def test_drift_categorical_empty_baseline_is_error_value(spark, docs, baseline_c
     rows = res.verdicts.collect()
     assert rows and {r["status"] for r in rows} == {"ERROR"}
     assert {r["error_kind"] for r in rows} == {"MissingInputError"}
+
+
+def test_repetition_duplicate_doc_ids_profile_per_partition(spark, tmp_path):
+    """Advice r4 (medium): duplicate doc_ids spanning partitions — exactly
+    the defect the unique/fd checks model — must NOT merge their tokens
+    into one profile with nondeterministic partition attribution. The
+    degenerate copy fails ITS partition; the clean copy's partition passes."""
+    suite = CheckSuite([Check("repetition", params={"max_dup_word_frac": 0.5})])
+    rows = [
+        ("dup-1", 0, [("text", "alpha beta gamma delta epsilon zeta", None, 0)]),
+        ("dup-1", 1, [("text", "spam spam spam spam spam spam spam spam", None, 0)]),
+        ("other", 1, [("text", "one two three four five six seven", None, 0)]),
+    ]
+    import sat_val_framework_spark.fixtures as fx
+
+    docs = spark.createDataFrame(rows, fx.DOCUMENTS_SCHEMA).repartition(4)
+    for _ in range(3):  # attribution must be stable across runs
+        res = run_suite(spark, docs, suite)
+        st = {r["part_id"]: r for r in res.verdicts.collect()}
+        assert st[0]["status"] == "PASS" and st[0]["violation_count"] == 0
+        assert st[1]["status"] == "FAIL" and st[1]["violation_count"] == 1
+        assert st[1]["sample_violations"] == ["dup-1"]
+
+
+def test_ngram_decontam_duplicate_doc_ids_keyed_per_partition(spark, tmp_path):
+    """Advice r4: the decontam kinds key on the physical (part, doc) row —
+    a quoting copy of a duplicated doc_id flags its own partition only,
+    the clean copy's partition stays green (no cross-partition text pooling)."""
+    ref_path = str(tmp_path / "eval.parquet")
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    spark.createDataFrame([("e1", quote)], ["doc_id", "text"]).write.parquet(ref_path)
+    suite = CheckSuite([Check("ngram_decontam", params={"ref_path": ref_path, "n": 5})])
+    rows = [
+        ("dup-1", 0, [("text", "totally clean original words here today", None, 0)]),
+        ("dup-1", 1, [("text", "prefix " + quote + " suffix", None, 0)]),
+    ]
+    import sat_val_framework_spark.fixtures as fx
+
+    docs = spark.createDataFrame(rows, fx.DOCUMENTS_SCHEMA)
+    res = run_suite(spark, docs, suite)
+    st = {r["part_id"]: r for r in res.verdicts.collect()}
+    assert st[0]["status"] == "PASS" and st[0]["violation_count"] == 0
+    assert st[1]["status"] == "FAIL" and st[1]["sample_violations"] == ["dup-1"]
+
+
+def test_contamination_cap_writes_oversized_bucket_audit(spark, tmp_path):
+    """Advice r4: when the contamination kind caps LSH buckets, the
+    oversized-bucket audit lands in the violations table (no-silent-caps) —
+    constraint_id suffixed '#oversized_buckets', one row per over-cap
+    (band, key) bucket."""
+    ref_path = str(tmp_path / "ref.parquet")
+    boiler = "error page not found please try again later contact support now"
+    spark.createDataFrame(
+        [(f"r{i}", boiler) for i in range(3)], ["doc_id", "text"]
+    ).write.parquet(ref_path)
+    suite = CheckSuite(
+        [Check("contamination", params={
+            "ref_path": ref_path, "threshold": 0.5, "max_bucket_size": 2,
+        })]
+    )
+    docs = _mini_docs(spark, {0: [boiler, boiler, "unrelated fresh content words"]})
+    vio = str(tmp_path / "vio")
+    res = run_suite(spark, docs, suite, violations_path=vio, run_id="cap1")
+    st = {r["part_id"]: r for r in res.verdicts.collect()}
+    assert st[0]["status"] == "FAIL"  # boilerplate docs still pair via hub
+    audit = ckpt.read_violations(spark, vio).filter(
+        F.col("constraint_id").endswith("#oversized_buckets")
+    )
+    rows = audit.collect()
+    assert rows, "cap set but no oversized-bucket audit row written"
+    assert all("bucket_size" in r["detail_json"] for r in rows)

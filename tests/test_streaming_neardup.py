@@ -94,3 +94,28 @@ def test_streaming_neardup_bucket_cap_bounds_state(spark, tmp_path):
         assert not any(a == late or (b == late and a != "f00") for a, b in fam_pairs)
     # the genuine near-dup pair outside the family is still found
     assert ("z1", "z2") in pairs
+
+
+def test_streaming_neardup_parquet_sink(spark, nd_stream_dir, tmp_path):
+    """Advice r4: sink_path writes pairs to parquet (executor-side, no
+    driver accumulation) — same cumulative pair set as the memory sink."""
+    sink = str(tmp_path / "nd_pairs")
+    q = streaming_neardup(
+        spark, nd_stream_dir, query_name="t_nd_pq", max_files=1, sink_path=sink
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["doc_a"], r["doc_b"]) for r in spark.read.parquet(sink).collect()}
+    docs = spark.read.parquet(nd_stream_dir)
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.filter(F.col("spans"), lambda s: s["kind"] == "text"), lambda s: s["text"]
+        ),
+    )
+    flat = docs.select("doc_id", text.alias("text")).where(F.trim("text") != "")
+    expected = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(dedup.minhash_signature(flat, k=12), 4, 3).collect()
+    }
+    assert got == expected
