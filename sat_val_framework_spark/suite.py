@@ -132,19 +132,7 @@ class CheckSuite:
                             f"{PROFILE_THRESHOLD_PARAMS} required"
                         )
                     )
-                if c.column == "text_len":
-                    # the runner's profile path only derives n_spans; the
-                    # per-span text_len series would raise AnalysisException
-                    # mid-job -> a retryable ERROR verdict that re-runs
-                    # forever on resume (ADVICE r3 — same hazard the
-                    # quantile kind rejects text_len for, below)
-                    errors.append(
-                        SuiteConfigError(
-                            f"{c.constraint_id}: derived column 'text_len' is per-span "
-                            "and not supported by the profile kind (n_spans is)"
-                        )
-                    )
-                elif c.column and c.column not in derived and _field_type(schema, c.column) is None:
+                if c.column and c.column not in derived and _field_type(schema, c.column) is None:
                     errors.append(
                         SuiteConfigError(f"{c.constraint_id}: column '{c.column}' not in schema")
                     )
@@ -213,16 +201,6 @@ class CheckSuite:
                         SuiteConfigError(
                             f"{c.constraint_id}: quantile column must be a dot-free "
                             f"top-level column, got '{c.column}'"
-                        )
-                    )
-                elif c.column == "text_len":
-                    # per-span derived series: the quantile runner only
-                    # derives n_spans; text_len needs the drift family's
-                    # exploded series
-                    errors.append(
-                        SuiteConfigError(
-                            f"{c.constraint_id}: derived column 'text_len' is per-span "
-                            "and not supported by the quantile kind (n_spans is)"
                         )
                     )
                 elif c.column and c.column not in derived:

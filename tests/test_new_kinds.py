@@ -276,3 +276,39 @@ def test_contamination_cap_writes_oversized_bucket_audit(spark, tmp_path):
     rows = audit.collect()
     assert rows, "cap set but no oversized-bucket audit row written"
     assert all("bucket_size" in r["detail_json"] for r in rows)
+
+
+def test_quantile_and_profile_on_derived_text_len(spark, tmp_path):
+    """VERDICT r4 #2: a doc-length quantile bound — quantile:text_len rides
+    the drift family's per-text-span series. Long-text partitions FAIL the
+    hi bound, a media-only partition (no text spans) gets the drift
+    family's EmptySeriesError, and resume is a noop."""
+    import sat_val_framework_spark.fixtures as fx
+
+    rows = (
+        [(f"s{i}", 0, [("text", "five!", None, 0), ("text", "chars", None, 1)])
+         for i in range(4)]
+        + [(f"l{i}", 1, [("text", "x" * 50, None, 0)]) for i in range(4)]
+        + [(f"m{i}", 2, [("image", None, f"img-{i}", 0)]) for i in range(2)]
+    )
+    docs = spark.createDataFrame(rows, fx.DOCUMENTS_SCHEMA)
+    suite = CheckSuite([
+        Check("quantile", "text_len", {"q": 0.5, "lo": 1, "hi": 20, "approx": False}),
+        Check("profile", "text_len", {"max_top_share": 0.9}),
+    ])
+    path = str(tmp_path / "ck")
+    res = run_suite(spark, docs, suite, checkpoint_path=path, run_id="tl1")
+    st = {(r["constraint_id"], r["part_id"]): r for r in res.verdicts.collect()}
+    q = "quantile:text_len"
+    assert st[(q, 0)]["status"] == "PASS"
+    assert st[(q, 1)]["status"] == "FAIL" and "50" in st[(q, 1)]["sample_violations"][0]
+    assert st[(q, 2)]["status"] == "ERROR"
+    assert st[(q, 2)]["error_kind"] == "EmptySeriesError"
+    # rows_scanned counts SPAN rows on the per-span series (2 spans/doc in part 0)
+    assert st[(q, 0)]["rows_scanned"] == 8
+    # profile: part 1 collapses to one length (top share 1.0 > 0.9)
+    p = "profile:text_len"
+    assert st[(p, 1)]["status"] == "FAIL"
+    assert st[(p, 0)]["status"] == "FAIL"  # both spans are length 5 -> top share 1.0
+    res2 = run_suite(spark, docs, suite, checkpoint_path=path, run_id="tl1")
+    assert res2.verdicts.count() == 0

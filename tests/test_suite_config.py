@@ -94,11 +94,12 @@ def test_quantile_config_rejections(spark, docs):
 
     for params, column, needle in [
         ({"hi": 100}, "spans.offset", "dot-free"),
-        ({"hi": 100}, "text_len", "per-span"),
         ({"lo": "abc"}, "n_spans", "must be numeric"),
     ]:
         errs = CheckSuite([Check("quantile", column, params)]).validate(docs)
         assert len(errs) == 1 and needle in str(errs[0]), (column, errs)
+    # both derived series are accepted since r5 (VERDICT r4 #2)
+    assert CheckSuite([Check("quantile", "text_len", {"hi": 100})]).validate(docs) == []
 
 
 def test_composite_unique_constraint_id_canonicalized(docs):
@@ -121,14 +122,20 @@ def test_composite_unique_id_matches_operator_emission(spark, docs):
     assert emitted == {Check("unique", "doc_id, part_id").constraint_id}
 
 
-def test_profile_text_len_rejected_driver_side(docs):
-    """ADVICE r3: profile on text_len would raise AnalysisException mid-job
-    (retryable ERROR, re-run forever on resume) — validate must reject it
-    eagerly, exactly like the quantile kind does."""
-    errs = CheckSuite([Check("profile", "text_len", {"max_top_share": 0.9})]).validate(docs)
-    assert len(errs) == 1 and "text_len" in str(errs[0])
-    # n_spans stays accepted
+def test_profile_text_len_accepted_driver_side(docs):
+    """VERDICT r4 #2: profile/quantile on the derived text_len series are
+    supported (the runner routes them through the drift family's exploded
+    series) — validate must accept them; n_spans stays accepted too."""
+    assert CheckSuite([Check("profile", "text_len", {"max_top_share": 0.9})]).validate(docs) == []
     assert CheckSuite([Check("profile", "n_spans", {"max_top_share": 0.9})]).validate(docs) == []
+    # round-trip keeps the derived column declarable
+    s = CheckSuite([
+        Check("quantile", "text_len", {"q": 0.5, "lo": 1, "hi": 100}),
+        Check("profile", "text_len", {"max_top_share": 0.9}),
+    ])
+    rt = CheckSuite.from_json(s.to_json())
+    assert [c.constraint_id for c in rt.checks] == [c.constraint_id for c in s.checks]
+    assert rt.validate(docs) == []
 
 
 def test_unique_dotted_components_rejected(docs):
