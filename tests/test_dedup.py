@@ -459,3 +459,25 @@ def test_ngram_hits_ignores_token_less_docs(spark):
     )
     got = {r["doc_id"] for r in ngram_hits(docs, ref, n=4).collect()}
     assert got == {"d4"}
+
+
+def test_dedup_clusters_logarithmic_rounds_on_long_chain(spark):
+    """VERDICT r4 #5: pointer doubling makes an adversarial 100-node path
+    converge in O(log d) rounds — ceil(log2(100)) = 7 plus a small
+    constant, not the 99 rounds plain min-label propagation needs."""
+    from sat_val_framework_spark.functions.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(99)], ["doc_a", "doc_b"]
+    )
+    stats = {}
+    out = dedup_clusters(pairs, stats=stats)
+    labs = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert set(labs.values()) == {"n000"} and len(labs) == 100
+    assert stats["rounds"] <= 7 + 3, stats
+    # the shallow common case still exits immediately
+    shallow = spark.createDataFrame([("a", "b"), ("b", "c"), ("x", "y")], ["doc_a", "doc_b"])
+    s2 = {}
+    got = {(r["doc_id"], r["cluster_id"]) for r in dedup_clusters(shallow, stats=s2).collect()}
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+    assert s2["rounds"] <= 3
