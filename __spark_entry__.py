@@ -902,6 +902,27 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(emb, threshold=0.4, n_bits=8, bands=2)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SEMANTIC dedup (VERDICT r4 #4): embedding near-dup pairs
+    (banded sign-LSH + exact cosine verify) -> connected components
+    (pointer-doubling min-label) -> one keeper per cluster — the embedding
+    twin of dedup_jaccard's LSH->verify composition, proving the three
+    stages compose the way a training pipeline runs them. Output: each
+    SURVIVING vec_id with the number of corpus vectors its cluster
+    absorbed (n_merged; 1 = no near-dup). Every stage is a bucketed
+    equi-join or label iteration — no crossJoin anywhere in the plan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.4, n_bits=8, bands=2)
+    clusters = dedup.dedup_clusters(pairs, id_a="vec_a", id_b="vec_b")
+    kept = dedup.keep_one_per_cluster(emb.select("vec_id"), clusters, id_col="vec_id")
+    sizes = clusters.groupBy(F.col("cluster_id").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n_merged")
+    )
+    return kept.join(sizes, "vec_id", "left").select(
+        "vec_id", F.coalesce("n_merged", F.lit(1)).cast("long").alias("n_merged")
+    )
+
+
 def q_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-data gate: keep documents that pass quality,
     language, AND exact-dedup (keep the lowest doc_id of each digest group)
@@ -1011,10 +1032,34 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ordering is deliberate: the driver's correctness window checks a
     # 50-query prefix per round, so queries NOT covered by the latest
-    # record (round-3 checked the 50 that now sit at the back) plus this
+    # record (round-4 checked the 50 that now sit at the back) plus this
     # round's new ones come FIRST — every query stays inside a recent
-    # driver-checked window (VERDICT r3 #8)
+    # driver-checked window (VERDICT r3 #8, re-rotated per VERDICT r4 #7)
     return {
+        # --- 20 queries last driver-checked in round 3 ---
+        "train_test_split": q_train_test_split,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "fingerprint": q_fingerprint,
+        "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
+        "media_resize": q_media_resize,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "ann_threshold": q_ann_threshold,
+        "ann_topk": q_ann_topk,
+        "ann_bucketed": q_ann_bucketed,
+        "embedding_stats": q_embedding_stats,
+        "multimodal_features": q_multimodal_features,
+        "frame_plan": q_frame_plan,
+        "drift_ks_pandas": q_drift_ks_pandas,
+        "streaming_window": q_streaming_window,
+        "tpch_q1": q_tpch_q1,
+        "topk_per_group": q_topk_per_group,
+        "asof_join": q_asof_join,
+        # --- new this round (never driver-checked) ---
+        "semantic_dedup": q_semantic_dedup,
+        # --- round-4-checked 50 ---
         "lsh_capped": q_lsh_capped,
         "lsh_oversized": q_lsh_oversized,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
@@ -1065,26 +1110,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "dedup_clusters": q_dedup_clusters,
         "hash_sample": q_hash_sample,
-        "train_test_split": q_train_test_split,
-        "stratified_sample": q_stratified_sample,
-        "pack_sequences": q_pack_sequences,
-        "fingerprint": q_fingerprint,
-        "token_count": q_token_count,
-        "token_count_bpe": q_token_count_bpe,
-        "media_resize": q_media_resize,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
-        "ann_threshold": q_ann_threshold,
-        "ann_topk": q_ann_topk,
-        "ann_bucketed": q_ann_bucketed,
-        "embedding_stats": q_embedding_stats,
-        "multimodal_features": q_multimodal_features,
-        "frame_plan": q_frame_plan,
-        "drift_ks_pandas": q_drift_ks_pandas,
-        "streaming_window": q_streaming_window,
-        "tpch_q1": q_tpch_q1,
-        "topk_per_group": q_topk_per_group,
-        "asof_join": q_asof_join,
     }
 
 
@@ -1912,6 +1937,36 @@ def oracle_sql() -> dict[str, str]:
                   ON a.band_id = b.band_id AND a.key = b.key AND a.vec_id < b.vec_id),
             agg AS (SELECT vec_a, vec_b, round(max(s), 6) AS cos_sim FROM hits GROUP BY 1, 2)
             SELECT vec_a, vec_b, cos_sim FROM agg WHERE cos_sim >= 0.4
+        """,
+        # same banded-LSH pair CTE as dedup_embedding, then the recursive
+        # connected-components fixpoint (dedup_clusters' oracle shape) and
+        # keeper selection: survivors = vectors that are not a non-canonical
+        # cluster member; n_merged = cluster size for canonical survivors
+        "semantic_dedup": f"""
+            WITH RECURSIVE banded AS (
+                SELECT vec_id, embedding, 0 AS band_id, {_sign_key_sql(0, 8)} AS key FROM embeddings
+                UNION ALL
+                SELECT vec_id, embedding, 1 AS band_id, {_sign_key_sql(8, 8)} AS key FROM embeddings),
+            hits AS (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS s
+                FROM banded a JOIN banded b
+                  ON a.band_id = b.band_id AND a.key = b.key AND a.vec_id < b.vec_id),
+            agg AS (SELECT vec_a, vec_b, round(max(s), 6) AS cos_sim FROM hits GROUP BY 1, 2),
+            pairs AS (SELECT vec_a, vec_b FROM agg WHERE cos_sim >= 0.4),
+            edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+                      UNION SELECT vec_b, vec_a FROM pairs),
+            reach(node, label) AS (
+                SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+                UNION
+                SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+            ),
+            clus AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+            sizes AS (SELECT cluster_id, count(*) AS sz FROM clus GROUP BY cluster_id)
+            SELECT e.vec_id, coalesce(s.sz, 1)::bigint AS n_merged
+            FROM embeddings e
+            LEFT JOIN sizes s ON s.cluster_id = e.vec_id
+            WHERE e.vec_id NOT IN (SELECT node FROM clus WHERE node != cluster_id)
         """,
         "cardinality_profile": """
             SELECT source AS grp, count(*) AS n_rows,
