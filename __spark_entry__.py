@@ -590,6 +590,17 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_count_bpe(_t_wide(spark, sf_dir, "documents"))
 
 
+def q_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL merges-table BPE token count (VERDICT r4 #3): pre-tokenize,
+    byte-pair encode each pre-token against the rank-ordered toy merges
+    table in an Arrow pandas_udf, count final symbols per doc. One scan +
+    one Arrow stage (plan-asserted in tests); the DuckDB twin exploits the
+    table's closure property (no merge output creates a lower-rank pair)
+    to express the encode as a rank-ordered replace() chain with
+    single-char aliases and count symbols with length()."""
+    return text.bpe_token_count(_t_wide(spark, sf_dir, "documents"))
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving image resize plumbing (mapInPandas over binary
     content; pixel resample stubbed deterministically, geometry real)."""
@@ -1059,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         # --- new this round (never driver-checked) ---
         "semantic_dedup": q_semantic_dedup,
+        "bpe_count": q_bpe_count,
         # --- round-4-checked 50 ---
         "lsh_capped": q_lsh_capped,
         "lsh_oversized": q_lsh_oversized,
@@ -1238,6 +1250,25 @@ def _kmeans_iter_sql(t: int) -> str:
                            FROM emb JOIN a{t} USING (vec_id) GROUP BY a{t}.cell),
             cents{t + 1} AS (SELECT c.cell, coalesce(n.ce, c.ce) AS ce
                              FROM cents{t} c LEFT JOIN avg{t + 1} n USING (cell))"""
+
+
+def _bpe_chain_sql(col: str = "text") -> str:
+    """Rank-ordered replace() chain mirroring text.DEFAULT_BPE_MERGES:
+    merge i's pattern is its parts (with already-merged parts spelled as
+    their alias chars) and its output is private-use chr(0xE000+i). Valid
+    ONLY because the merges table is closed (fold-by-rank == textbook BPE)
+    — see the DEFAULT_BPE_MERGES comment."""
+    from sat_val_framework_spark.functions.text import DEFAULT_BPE_MERGES
+
+    alias: dict[str, str] = {}
+    expr = col
+    for i, (a, b) in enumerate(DEFAULT_BPE_MERGES):
+        pa = alias.get(a, f"'{a}'")
+        pb = alias.get(b, f"'{b}'")
+        out = f"chr({0xE000 + i})"
+        alias[a + b] = out
+        expr = f"replace({expr}, {pa} || {pb}, {out})"
+    return expr
 
 
 def _sign_key_sql(start: int = 0, n_bits: int = 8) -> str:
@@ -1702,6 +1733,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN text IS NULL THEN NULL
                         ELSE len(regexp_extract_all(text, '{_BPE_RE_SQL}'))
+                   END::bigint AS n_bpe_tokens
+            FROM documents
+        """,
+        # real BPE via the closed toy merges table: fold-by-rank == textbook
+        # BPE (no merge output ever creates a lower-rank pair — see
+        # text.DEFAULT_BPE_MERGES), each output aliased to one private-use
+        # char so length() counts final symbols; whole-text replace equals
+        # per-pre-token BPE because adjacent letters always share a
+        # pre-token (letter runs are maximal; corpus has no apostrophes)
+        "bpe_count": f"""
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE length({_bpe_chain_sql()})
                    END::bigint AS n_bpe_tokens
             FROM documents
         """,

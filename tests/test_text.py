@@ -182,3 +182,92 @@ def test_repetition_profile_python_oracle(spark):
     assert got[4] == (0.0, None)
     assert got[5] == (None, None)
     assert got[6] == (None, None)
+
+
+def _bpe_reference(word, merges):
+    """Independent textbook-BPE reference: merge ONE leftmost occurrence of
+    the lowest-rank pair per step, re-scanning after every merge (a
+    different formulation from the library's merge-all-per-round loop)."""
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    syms = list(word)
+    while True:
+        cands = [
+            (ranks[(syms[i], syms[i + 1])], i)
+            for i in range(len(syms) - 1)
+            if (syms[i], syms[i + 1]) in ranks
+        ]
+        if not cands:
+            return syms
+        _, i = min(cands)
+        syms = syms[:i] + [syms[i] + syms[i + 1]] + syms[i + 2:]
+
+
+def test_bpe_token_count_matches_independent_reference(spark):
+    """VERDICT r4 #3: real merges-table BPE — exact counts on the toy
+    vocab vs an independently-formulated python reference, including
+    chained merges, repeats, punctuation, NULL and empty docs."""
+    import regex
+
+    from sat_val_framework_spark.functions.text import (
+        BPE_TOKEN_RE,
+        DEFAULT_BPE_MERGES,
+        bpe_token_count,
+    )
+
+    texts = [
+        "fast scan the value",          # full chains: fast=1, sc+an, the=1, val+ue
+        "fastfast thethe",              # merged symbols repeat inside a word
+        "aaa scscsc",                   # overlapping-occurrence handling
+        "the quick brown fox!! 42 ok",  # punctuation + digits pre-tokens
+        "   ",                          # whitespace-only
+        "",                             # empty -> 0
+        None,                           # NULL -> NULL
+        "rows flows throws values fasten",  # merges inside longer words
+    ]
+    pat = regex.compile(BPE_TOKEN_RE)
+
+    def expected(t):
+        if t is None:
+            return None
+        return sum(len(_bpe_reference(w, DEFAULT_BPE_MERGES)) for w in pat.findall(t))
+
+    df = spark.createDataFrame(
+        [(f"d{i}", t) for i, t in enumerate(texts)], "doc_id string, text string"
+    )
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_token_count(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[f"d{i}"] == expected(t), (t, got[f"d{i}"], expected(t))
+    # randomized corpus over the merge alphabet (chains, partial overlaps)
+    import random
+
+    rng = random.Random(7)
+    words = ["fast", "scan", "the", "value", "row", "rows", "than", "sca",
+             "fas", "cash", "throw", "x", "scscan", "fastest"]
+    rand_texts = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(1, 12)))
+        for _ in range(40)
+    ]
+    df2 = spark.createDataFrame(
+        [(f"r{i}", t) for i, t in enumerate(rand_texts)], "doc_id string, text string"
+    )
+    got2 = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_token_count(df2).collect()}
+    for i, t in enumerate(rand_texts):
+        assert got2[f"r{i}"] == expected(t), t
+
+
+def test_bpe_token_count_plan_one_scan_one_arrow_stage(spark):
+    """Scale shape: the encode is a pure Arrow projection — one parquet
+    scan, one ArrowEvalPython stage, no shuffle, no per-row PythonUDF."""
+    import tempfile
+
+    from sat_val_framework_spark.functions.text import bpe_token_count
+
+    d = tempfile.mkdtemp() + "/docs"
+    spark.createDataFrame(
+        [("a", "fast scan"), ("b", "the value")], "doc_id string, text string"
+    ).write.parquet(d)
+    plan = bpe_token_count(spark.read.parquet(d))._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "ArrowEvalPython" in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # the row-at-a-time slow path
