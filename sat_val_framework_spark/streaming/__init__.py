@@ -1,5 +1,8 @@
 from sat_val_framework_spark.streaming.catdrift_stream import streaming_categorical_drift
-from sat_val_framework_spark.streaming.contamination_stream import streaming_contamination
+from sat_val_framework_spark.streaming.contamination_stream import (
+    streaming_contamination,
+    streaming_ngram_decontam,
+)
 from sat_val_framework_spark.streaming.dedup_stream import streaming_dedup
 from sat_val_framework_spark.streaming.drift_stream import streaming_drift
 from sat_val_framework_spark.streaming.neardup_stream import streaming_neardup
@@ -15,6 +18,7 @@ __all__ = [
     "streaming_sessionize",
     "streaming_profile",
     "streaming_contamination",
+    "streaming_ngram_decontam",
     "streaming_neardup",
     "streaming_categorical_drift",
 ]

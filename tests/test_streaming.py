@@ -298,3 +298,48 @@ def test_streaming_categorical_drift_monitor(spark, stream_dir, tmp_path, baseli
     got = spark.read.parquet(sink2)
     st = {r["part_id"]: r["status"] for r in got.collect()}
     assert st and all(s == "FAIL" for s in st.values())
+
+
+def test_streaming_ngram_decontam_matches_batch(spark, tmp_path):
+    """Streaming exact n-gram decontamination (last suite kind without a
+    streaming twin): a doc quoting a reference 5-gram is flagged in ITS
+    micro-batch with the same n_hits the batch operator reports; clean
+    batches append nothing; cumulative stream output == batch ngram_hits
+    on the union of all batches (per-doc operator, no cross-batch state)."""
+    from sat_val_framework_spark.functions.dedup import ngram_hits
+    from sat_val_framework_spark.streaming import streaming_ngram_decontam
+
+    schema = "doc_id long, text string"
+    reference = spark.createDataFrame(
+        [(900, "the quick brown fox jumps over the lazy dog"),
+         (901, "a held out benchmark item about tides")],
+        schema,
+    )
+    src = str(tmp_path / "incoming_ng")
+    clean = spark.createDataFrame(
+        [(1, "ordinary web document about cooking pasta at home"),
+         (2, "release notes for a software project version two")], schema)
+    # doc 3 quotes a verbatim 5-gram span of ref 900 inside unrelated text
+    leaky = spark.createDataFrame(
+        [(3, "he said the quick brown fox jumps over and ran away"),
+         (4, "yet another unremarkable training document here")], schema)
+    clean.coalesce(1).write.mode("append").parquet(src)
+    leaky.coalesce(1).write.mode("append").parquet(src)
+
+    sink = str(tmp_path / "ngram_sink")
+    q = streaming_ngram_decontam(
+        spark, src, reference, sink,
+        spark.createDataFrame([], schema).schema, n=5, max_files=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.read.parquet(sink).collect()
+    assert [r["doc_id"] for r in rows] == [3]
+
+    # cumulative stream == batch operator on the union of all batches
+    batch = {
+        (r["doc_id"], r["n_hits"])
+        for r in ngram_hits(clean.union(leaky), reference, n=5)
+        .filter("n_hits > 0").collect()
+    }
+    assert {(r["doc_id"], r["n_hits"]) for r in rows} == batch
