@@ -100,6 +100,24 @@ def q_uniqueness_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_keys(li, ["l_orderkey", "l_linenumber"])
 
 
+def q_uniqueness_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4/B14 skew-stress twin of `uniqueness` (VERDICT r4 #8: put the
+    hot-key evidence in the measured record, not just BENCH prose): ~10% of
+    lineitem rows are deterministically remapped onto ONE key (-1) before
+    the same salted two-level duplicate finder runs. The hot key reaches
+    the final reducer as at most #input-splits partial rows, so bench.py's
+    `uniqueness_hotkey` latency sitting ~= `uniqueness` latency IS the
+    skew-mitigation measurement; a naive single-level groupBy would
+    serialize ~10% of the table onto one task."""
+    li = _t(spark, sf_dir, "lineitem")
+    skewed = li.select(
+        F.when(F.col("l_orderkey") % 10 == 0, F.lit(-1).cast("long"))
+        .otherwise(F.col("l_orderkey"))
+        .alias("key")
+    )
+    return duplicate_keys(skewed, "key")
+
+
 def q_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B5: orphans via broadcast LEFT ANTI join (clean data -> empty set,
     which is itself the assertion)."""
@@ -1071,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (never driver-checked) ---
         "semantic_dedup": q_semantic_dedup,
         "bpe_count": q_bpe_count,
+        "uniqueness_hotkey": q_uniqueness_hotkey,
         # --- round-4-checked 50 ---
         "lsh_capped": q_lsh_capped,
         "lsh_oversized": q_lsh_oversized,
@@ -1344,6 +1363,13 @@ def oracle_sql() -> dict[str, str]:
         "uniqueness_multi": """
             SELECT l_orderkey, l_linenumber, count(*) AS dup_count
             FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+        """,
+        "uniqueness_hotkey": """
+            SELECT key, count(*) AS dup_count
+            FROM (SELECT CASE WHEN l_orderkey % 10 = 0 THEN CAST(-1 AS BIGINT)
+                              ELSE l_orderkey END AS key
+                  FROM lineitem)
+            GROUP BY key HAVING count(*) > 1
         """,
         "fd_violations": """
             SELECT l_partkey,

@@ -71,6 +71,13 @@ HEADLINE = [
     "drift_kl",
     "repetition",
     "categorical_drift",
+    # round-5 additions
+    "semantic_dedup",
+    "bpe_count",
+    # skew story in the measured record every round (VERDICT r4 #8):
+    # ~10% of rows on one key through the same salted aggregate — done
+    # means within ~1.2x of clean `uniqueness`
+    "uniqueness_hotkey",
 ]
 
 

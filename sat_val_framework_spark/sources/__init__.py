@@ -6,7 +6,11 @@ from sat_val_framework_spark.sources.readers import (
     read_iceberg_table,
 )
 from sat_val_framework_spark.sources.snapshots import read_snapshot, snapshots, write_snapshot
-from sat_val_framework_spark.sources.writers import read_table, write_bucketed_table
+from sat_val_framework_spark.sources.writers import (
+    append_catalog_table,
+    read_table,
+    write_bucketed_table,
+)
 
 __all__ = [
     "read_documents",
@@ -19,4 +23,5 @@ __all__ = [
     "snapshots",
     "write_bucketed_table",
     "read_table",
+    "append_catalog_table",
 ]

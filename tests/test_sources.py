@@ -1,6 +1,9 @@
 """Source readers: declared-schema ingest, partition-predicate pushdown,
 round-trip through JSONL and flattened CSV back to the canonical shape."""
 
+import os
+
+import pytest
 from pyspark.sql import functions as F
 
 from sat_val_framework_spark import fixtures as fx
@@ -574,3 +577,63 @@ def _latest_manifest_stats(table_dir):
     paths = sorted(_glob.glob(_os.path.join(table_dir, "snapshots", "*.json")))
     with open(paths[-1]) as f:
         return _json.load(f)["stats"]
+
+
+def test_catalog_append_roundtrip_v2(spark, tmp_path):
+    """The PLANS.md Iceberg swap (`.writeTo(table).append()`) as executable
+    code: round-trip verdict-shaped rows through a V2 catalog. In-sandbox
+    the catalog is Spark's shipped JDBC V2 catalog over embedded Derby —
+    same DataFrameWriterV2 create/append path an Iceberg catalog takes,
+    minus Iceberg's snapshotting (covered by sources/snapshots.py)."""
+    from sat_val_framework_spark.sources import append_catalog_table
+
+    spark.conf.set(
+        "spark.sql.catalog.smokecat",
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog",
+    )
+    spark.conf.set("spark.sql.catalog.smokecat.url", f"jdbc:derby:{tmp_path}/cat;create=true")
+    spark.conf.set("spark.sql.catalog.smokecat.driver", "org.apache.derby.jdbc.EmbeddedDriver")
+
+    v1 = spark.createDataFrame(
+        [("unique:doc_id", 3, "PASS", 1000), ("unique:doc_id", 7, "FAIL", 1000)],
+        "constraint_id string, part_id int, status string, rows_scanned long",
+    )
+    v2 = spark.createDataFrame(
+        [("schema_assert", 3, "PASS", 1000)],
+        "constraint_id string, part_id int, status string, rows_scanned long",
+    )
+    append_catalog_table(v1, "smokecat.verdicts")  # creates
+    append_catalog_table(v2, "smokecat.verdicts")  # appends
+    got = {
+        (r["constraint_id"], r["part_id"], r["status"])
+        for r in spark.table("smokecat.verdicts").collect()
+    }
+    assert got == {
+        ("unique:doc_id", 3, "PASS"),
+        ("unique:doc_id", 7, "FAIL"),
+        ("schema_assert", 3, "PASS"),
+    }
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_ICEBERG_CATALOG"),
+    reason="no Iceberg catalog configured (set SPARK_GRAFT_ICEBERG_CATALOG "
+    "to a spark.sql.catalog.<name> with iceberg-spark-runtime on the classpath)",
+)
+def test_catalog_append_roundtrip_iceberg(spark):
+    """Production-catalog variant: identical round-trip against a real
+    Iceberg catalog when one is configured (cluster CI); appends there are
+    atomic snapshot commits."""
+    from sat_val_framework_spark.sources import append_catalog_table
+
+    cat = os.environ["SPARK_GRAFT_ICEBERG_CATALOG"]
+    tbl = f"{cat}.default.sat_val_smoke_verdicts"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    v = spark.createDataFrame(
+        [("unique:doc_id", 3, "PASS", 1000)],
+        "constraint_id string, part_id int, status string, rows_scanned long",
+    )
+    append_catalog_table(v, tbl)
+    append_catalog_table(v, tbl)
+    assert spark.table(tbl).count() == 2
+    spark.sql(f"DROP TABLE {tbl}")
