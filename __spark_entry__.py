@@ -547,6 +547,40 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(pairs)
 
 
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix reweighting (training-data pipeline op): deterministically
+    sample documents so the survivors follow a target source mix at maximum
+    retention — src0 (largest target share) is the bottleneck and survives
+    whole; the others downsample by (key,salt)-hash threshold. One
+    metadata-sized count agg derives the per-source fractions; the filter
+    itself is a pure pushed-down predicate (functions/sampling.py)."""
+    from sat_val_framework_spark.functions.sampling import mix_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return mix_sample(
+        d,
+        "source",
+        {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.0625},
+        key_col="doc_id",
+    ).select("doc_id", "source")
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-priority dedup keeper: MinHash-LSH candidate pairs ->
+    connected components -> keep the LONGEST copy per cluster (ties ->
+    lowest id) instead of the arbitrary min-id canonical — what production
+    dedup does when copies differ in quality. The keeper comes from one
+    min_by hash-agg over (membership x n_chars) (partial agg bounds hot
+    boilerplate clusters), then a left-anti drop."""
+    d = _t_wide(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signature(d, k=12)
+    pairs = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=3)
+    clusters = dedup.dedup_clusters(pairs)
+    return dedup.keep_best_per_cluster(d, clusters, "n_chars").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic, repartition-invariant 25% sample by doc_id hash —
     df.sample() would change under retries/cluster size; this never does."""
@@ -1090,6 +1124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "bpe_count": q_bpe_count,
         "uniqueness_hotkey": q_uniqueness_hotkey,
+        "mix_sample": q_mix_sample,
+        "dedup_keep_best": q_dedup_keep_best,
         # --- round-4-checked 50 ---
         "lsh_capped": q_lsh_capped,
         "lsh_oversized": q_lsh_oversized,
@@ -1711,6 +1747,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars FROM documents
             WHERE ('0x' || substr(md5('v1:' || doc_id::varchar), 1, 15))::bigint
                   % 1000000 < 250000
+        """,
+        "mix_sample": """
+            WITH tgt(source, t) AS (
+                VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.125), ('src3', 0.0625)),
+            counts AS (
+                SELECT d.source, count(*)::DOUBLE AS cnt
+                FROM documents d JOIN tgt ON d.source = tgt.source
+                GROUP BY d.source),
+            fr AS (
+                SELECT source,
+                       least(1.0, (t * (SELECT min(cnt / t) FROM counts JOIN tgt USING (source))) / cnt) AS frac
+                FROM counts JOIN tgt USING (source))
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN fr ON d.source = fr.source
+            WHERE ('0x' || substr(md5('mix-v1:' || d.doc_id::varchar), 1, 15))::bigint
+                  % 1000000 < floor(frac * 1000000)
+        """,
+        "dedup_keep_best": f"""
+            WITH RECURSIVE {_LSH_CTES},
+            cands AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM cands
+                      UNION SELECT doc_b, doc_a FROM cands),
+            reach(node, label) AS (
+                SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+                UNION
+                SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+            ),
+            clusters AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node),
+            ranked AS (
+                SELECT c.doc_id,
+                       row_number() OVER (PARTITION BY c.cluster_id
+                                          ORDER BY d.n_chars DESC, c.doc_id) AS rn
+                FROM clusters c JOIN documents d USING (doc_id)),
+            dropped AS (SELECT doc_id FROM ranked WHERE rn > 1)
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         """,
         "train_test_split": """
             SELECT doc_id,

@@ -78,6 +78,8 @@ HEADLINE = [
     # ~10% of rows on one key through the same salted aggregate — done
     # means within ~1.2x of clean `uniqueness`
     "uniqueness_hotkey",
+    "mix_sample",
+    "dedup_keep_best",
 ]
 
 
@@ -246,7 +248,9 @@ def main() -> int:
         # they measure this single host's shared memory-bandwidth ceiling
         # (the same reason 8->32 is excluded as an SMT artifact), not the
         # engine's plan shape.
-        _drop_page_cache()
+        if os.environ.get("SPARK_GRAFT_NO_CACHE_DROP") != "1":
+            # allow the r1-r3 protocol (no drop) for cross-round parity runs
+            _drop_page_cache()
         res = suite_throughput(spark, BENCH_DOCS)
         warm_runs = suite_throughput(spark, BENCH_DOCS, reps=2)
         res["master"] = master

@@ -691,6 +691,40 @@ def keep_one_per_cluster(docs: DataFrame, clusters: DataFrame, id_col: str = "do
     return docs.join(drop.withColumnRenamed("doc_id", id_col), id_col, "left_anti")
 
 
+def keep_best_per_cluster(
+    docs: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keeper selection by QUALITY instead of by minimum id: within each
+    near-dup cluster keep the row with the highest ``score_col`` (ties ->
+    lowest id), e.g. keep the longest copy or the highest quality-score
+    copy — what production dedup actually does (the canonical-min-id rule
+    of ``keep_one_per_cluster`` discards arbitrarily). Docs outside any
+    cluster pass through untouched.
+
+    Plan shape: broadcast-sized ``clusters`` is NOT assumed — the keeper
+    per cluster comes from one hash-agg over the (cluster memberships x
+    score) join (``min_by`` on the (-score, id) struct: partial aggregation
+    reduces each cluster to one candidate per map split, so a huge
+    boilerplate cluster crosses the shuffle as #splits rows, the same
+    hot-key story as salted uniqueness), then a left-anti join drops the
+    non-keepers. Two shuffles total, both on doc/cluster ids."""
+    member = clusters.select(
+        F.col("doc_id").alias(id_col), F.col("cluster_id")
+    ).join(docs.select(id_col, score_col), id_col)
+    keepers = member.groupBy("cluster_id").agg(
+        F.min_by(
+            F.col(id_col), F.struct((-F.col(score_col)).alias("neg"), F.col(id_col))
+        ).alias("keeper_id")
+    )
+    drop = member.join(keepers, "cluster_id").filter(
+        F.col(id_col) != F.col("keeper_id")
+    ).select(id_col)
+    return docs.join(drop, id_col, "left_anti")
+
+
 def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """16-bit SimHash as a bit string: bit j votes +1 when hex digit j of the
     token's md5 has its high bit set, weighted by token frequency.

@@ -82,3 +82,55 @@ def stratified_sample(
     for value, frac in sorted(fractions.items()):
         thr = F.when(F.col(strata_col) == value, F.lit(int(frac * _BUCKETS))).otherwise(thr)
     return df.filter(_key_bucket(F.col(key_col), salt, hash_fn) < thr)
+
+
+def target_mix_fractions(
+    df: DataFrame, strata_col: str, targets: dict[str, float]
+) -> dict[str, float]:
+    """Max-retention per-stratum keep fractions realizing a TARGET MIX —
+    the domain-reweighting step of a training-data pipeline ("make the
+    corpus 50% web, 25% code, ...") turned into inputs for
+    ``stratified_sample``.
+
+    The bottleneck stratum (smallest count relative to its target share)
+    is kept whole and every other stratum is downsampled to match:
+    ``scale = min_s(count_s / target_s)`` is the largest total corpus
+    achieving the exact mix, and stratum s keeps ``target_s * scale``
+    rows. One hash-agg over the table; the collect is metadata-sized
+    (#strata rows). Strata absent from ``targets`` (or from the data) get
+    no fraction — ``stratified_sample``'s default_fraction drops them,
+    which is the intended semantics for "everything else" buckets."""
+    if not targets or any(t < 0 for t in targets.values()):
+        raise ValueError("targets must be non-empty with non-negative shares")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }  # metadata-sized: one row per stratum
+    present = {s: t for s, t in targets.items() if s in counts and t > 0}
+    if not present:
+        raise ValueError(
+            f"no stratum in targets {sorted(targets)} present in column '{strata_col}'"
+        )
+    scale = min(counts[s] / t for s, t in present.items())
+    return {s: min(1.0, (t * scale) / counts[s]) for s, t in present.items()}
+
+
+def mix_sample(
+    df: DataFrame,
+    strata_col: str,
+    targets: dict[str, float],
+    key_col: str,
+    salt: str = "mix-v1",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Deterministically sample ``df`` so the surviving rows follow the
+    target mix over ``strata_col`` at maximum retention (the bottleneck
+    stratum survives whole). Composition: ``target_mix_fractions`` (one
+    agg + metadata collect) feeding ``stratified_sample`` (pure pushed-down
+    hash predicate) — the whole operator is ONE extra aggregation job over
+    plain stratified sampling, and membership stays a function of
+    (key, salt): stable across runs, clusters, and repartitioning."""
+    fractions = target_mix_fractions(df, strata_col, targets)
+    return stratified_sample(
+        df, strata_col, fractions, key_col, default_fraction=0.0, salt=salt, hash_fn=hash_fn
+    )

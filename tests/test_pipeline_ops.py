@@ -4,11 +4,17 @@ deterministic sampling / splits, and sequence packing — python oracles."""
 import pytest
 from pyspark.sql import functions as F
 
-from sat_val_framework_spark.functions.dedup import dedup_clusters, keep_one_per_cluster
+from sat_val_framework_spark.functions.dedup import (
+    dedup_clusters,
+    keep_best_per_cluster,
+    keep_one_per_cluster,
+)
 from sat_val_framework_spark.functions.packing import pack_sequences
 from sat_val_framework_spark.functions.sampling import (
     hash_sample,
+    mix_sample,
     stratified_sample,
+    target_mix_fractions,
     train_test_split,
 )
 
@@ -132,3 +138,59 @@ def test_pack_sequences_conservation_invariants(spark):
         per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["span_tokens"]
     last = max(per_seq)
     assert all(v == 128 for s, v in per_seq.items() if s != last)
+
+
+def test_target_mix_fractions_bottleneck_kept_whole(spark):
+    """The stratum scarcest relative to its target share survives whole;
+    every other listed stratum downsamples to hit the exact mix; unlisted
+    strata get no fraction (dropped by mix_sample's default 0)."""
+    rows = [(i, "web") for i in range(1000)] + \
+           [(10_000 + i, "code") for i in range(1000)] + \
+           [(20_000 + i, "junk") for i in range(500)]
+    df = spark.createDataFrame(rows, ["k", "src"])
+    fr = target_mix_fractions(df, "src", {"web": 0.8, "code": 0.2})
+    # scale = min(1000/0.8, 1000/0.2) = 1250 -> web keeps 1000 (whole),
+    # code keeps 0.2*1250/1000 = 0.25
+    assert fr["web"] == 1.0 and abs(fr["code"] - 0.25) < 1e-12
+    assert "junk" not in fr
+
+    out = mix_sample(df, "src", {"web": 0.8, "code": 0.2}, key_col="k")
+    per = {}
+    for r in out.collect():
+        per[r["src"]] = per.get(r["src"], 0) + 1
+    assert per["web"] == 1000
+    assert 150 < per["code"] < 350  # ~250: hash-threshold, not exact-count
+    assert "junk" not in per
+
+    # determinism + repartition invariance: membership is (key, salt) only
+    again = {r["k"] for r in mix_sample(df.repartition(13), "src",
+             {"web": 0.8, "code": 0.2}, key_col="k").collect()}
+    assert again == {r["k"] for r in out.collect()}
+
+
+def test_target_mix_fractions_validation(spark):
+    df = spark.createDataFrame([(1, "a")], ["k", "src"])
+    with pytest.raises(ValueError):
+        target_mix_fractions(df, "src", {})
+    with pytest.raises(ValueError):
+        target_mix_fractions(df, "src", {"a": -0.5})
+    with pytest.raises(ValueError):
+        target_mix_fractions(df, "src", {"absent": 1.0})
+
+
+def test_keep_best_per_cluster_quality_keeper(spark):
+    """Highest score survives per cluster (ties -> lowest id); docs outside
+    any cluster pass through; compare against keep_one_per_cluster's
+    min-id rule on the same clusters."""
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (7, 5), (9, 5), (42, 1)],
+        ["doc_id", "quality"],
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)], ["doc_id", "cluster_id"]
+    )
+    best = {r["doc_id"] for r in keep_best_per_cluster(docs, clusters, "quality").collect()}
+    # cluster 1 -> doc 2 (score 99); cluster 7 -> tie(5,5) -> min id 7; 42 untouched
+    assert best == {2, 7, 42}
+    minid = {r["doc_id"] for r in keep_one_per_cluster(docs, clusters).collect()}
+    assert minid == {1, 7, 42}
