@@ -565,6 +565,57 @@ def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def q_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier profile over four lineitem measures: unpivot to
+    (col_name, v), ONE exact-percentile hash-agg for the fences (6dp-rounded
+    both engines; approx=True is the documented sketch path), broadcast the
+    4-row fence frame back, one counting hash-agg. Zero windows, zero
+    driver-side data (operators/stats.py:outlier_fences)."""
+    from sat_val_framework_spark.operators.stats import outlier_fences
+
+    li = _t(spark, sf_dir, "lineitem")
+    return outlier_fences(li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
+def q_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality gate with exact count semantics: keep the top 25%
+    of each source's docs by n_chars (ties -> lowest doc_id). One shuffle on
+    source feeding stacked Window nodes (row_number + count share the
+    partition spec: one Exchange, one Sort, plan-audited);
+    quantile_threshold_filter is the documented no-sort
+    sketch path for groups that exceed executor memory
+    (functions/sampling.py)."""
+    from sat_val_framework_spark.functions.sampling import top_fraction_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    return top_fraction_per_group(d, "source", "n_chars", 0.25, "doc_id").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def q_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable cardinality sketches as data (functions/sketch.py:hll_*):
+    per-source HLL sketches built over two disjoint hash-halves of
+    documents, UNIONED (the persist-and-resume property a scalar
+    approx_count_distinct can never give), then estimated — alongside the
+    exact distinct count. At these cardinalities the Datasketches sketch
+    sits in sparse mode where estimates are exact, so the estimate itself
+    goes under the driver's value-hash gate (the dense-mode RSE band is
+    pytest-checked in test_sketch.py)."""
+    from sat_val_framework_spark.functions.sketch import hll_build, hll_estimate, hll_merge
+
+    d = _t(spark, sf_dir, "documents")
+    half_a = d.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+    half_b = d.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1)
+    merged = hll_merge(
+        hll_build(half_a, "doc_id", "source"), hll_build(half_b, "doc_id", "source"), "source"
+    )
+    exact = d.groupBy("source").agg(F.count_distinct("doc_id").alias("n_exact"))
+    return exact.join(hll_estimate(merged, "source"), "source").select(
+        "source", "n_exact", "distinct_est"
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-priority dedup keeper: MinHash-LSH candidate pairs ->
     connected components -> keep the LONGEST copy per cluster (ties ->
@@ -1126,6 +1177,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniqueness_hotkey": q_uniqueness_hotkey,
         "mix_sample": q_mix_sample,
         "dedup_keep_best": q_dedup_keep_best,
+        "top_fraction": q_top_fraction,
+        "outlier_fences": q_outlier_fences,
+        "distinct_hll": q_distinct_hll,
         # --- round-4-checked 50 ---
         "lsh_capped": q_lsh_capped,
         "lsh_oversized": q_lsh_oversized,
@@ -1786,6 +1840,43 @@ def oracle_sql() -> dict[str, str]:
             dropped AS (SELECT doc_id FROM ranked WHERE rn > 1)
             SELECT doc_id, source, n_chars FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        """,
+        "outlier_fences": """
+            WITH vals AS (
+                SELECT 'l_quantity' AS col_name, l_quantity::DOUBLE AS v FROM lineitem
+                UNION ALL SELECT 'l_extendedprice', l_extendedprice::DOUBLE FROM lineitem
+                UNION ALL SELECT 'l_discount', l_discount::DOUBLE FROM lineitem
+                UNION ALL SELECT 'l_tax', l_tax::DOUBLE FROM lineitem),
+            f AS (
+                SELECT col_name, count(v) AS n_values,
+                       round(quantile_cont(v, 0.25)
+                             - 1.5 * (quantile_cont(v, 0.75) - quantile_cont(v, 0.25)), 6) AS fence_lo,
+                       round(quantile_cont(v, 0.75)
+                             + 1.5 * (quantile_cont(v, 0.75) - quantile_cont(v, 0.25)), 6) AS fence_hi
+                FROM vals GROUP BY col_name)
+            SELECT f.col_name, f.n_values, f.fence_lo, f.fence_hi,
+                   sum(CASE WHEN v.v < f.fence_lo THEN 1 ELSE 0 END)::BIGINT AS n_low,
+                   sum(CASE WHEN v.v > f.fence_hi THEN 1 ELSE 0 END)::BIGINT AS n_high,
+                   round((sum(CASE WHEN v.v < f.fence_lo THEN 1 ELSE 0 END)
+                          + sum(CASE WHEN v.v > f.fence_hi THEN 1 ELSE 0 END))
+                         / f.n_values::DOUBLE, 6) AS outlier_rate
+            FROM vals v JOIN f USING (col_name)
+            GROUP BY f.col_name, f.n_values, f.fence_lo, f.fence_hi
+        """,
+        "distinct_hll": """
+            SELECT source,
+                   count(DISTINCT doc_id)::BIGINT AS n_exact,
+                   count(DISTINCT doc_id)::BIGINT AS distinct_est
+            FROM documents GROUP BY source
+        """,
+        "top_fraction": """
+            SELECT doc_id, source, n_chars FROM (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n_chars DESC, doc_id) AS rn,
+                       count(*) OVER (PARTITION BY source) AS cnt
+                FROM documents)
+            WHERE rn <= ceil(0.25 * cnt)
         """,
         "train_test_split": """
             SELECT doc_id,

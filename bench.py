@@ -80,6 +80,9 @@ HEADLINE = [
     "uniqueness_hotkey",
     "mix_sample",
     "dedup_keep_best",
+    "top_fraction",
+    "outlier_fences",
+    "distinct_hll",
 ]
 
 

@@ -14,7 +14,7 @@ MinHash/fingerprint/CMS.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKETS = 1_000_000  # hash-fraction resolution: 1e-6
@@ -133,4 +133,65 @@ def mix_sample(
     fractions = target_mix_fractions(df, strata_col, targets)
     return stratified_sample(
         df, strata_col, fractions, key_col, default_fraction=0.0, salt=salt, hash_fn=hash_fn
+    )
+
+
+def top_fraction_per_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    fraction: float,
+    id_col: str,
+) -> DataFrame:
+    """Quality gate with EXACT count semantics: keep the top
+    ``ceil(fraction * n_group)`` rows of each group by ``score_col``
+    (ties -> lowest ``id_col``, so the kept set is deterministic and
+    repartition-invariant). "Keep the best 25% of each source by quality
+    score" — the selection step after scoring in a training pipeline.
+
+    Plan shape: ONE shuffle on ``group_col`` feeding two window functions
+    over the same partition spec (row_number + count), then a filter —
+    Spark stacks both Window nodes on one Exchange + Sort (plan-audited:
+    no second exchange; the unordered count window needs no re-sort). The
+    per-group sort is the cost; for tables where a group exceeds executor
+    memory, use ``quantile_threshold_filter`` (mergeable sketch, no sort)
+    and accept approximate counts."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    w = Window.partitionBy(group_col).orderBy(F.col(score_col).desc(), F.col(id_col))
+    wc = Window.partitionBy(group_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_cnt", F.count(F.lit(1)).over(wc))
+        .filter(F.col("_rn") <= F.ceil(F.lit(fraction) * F.col("_cnt")))
+        .drop("_rn", "_cnt")
+    )
+
+
+def quantile_threshold_filter(
+    df: DataFrame,
+    score_col: str,
+    fraction: float,
+    group_col: str | None = None,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The 10^12-row path of ``top_fraction_per_group``: keep rows whose
+    score is at or above the (1 - fraction) approximate quantile (per
+    group when ``group_col`` is given). ``percentile_approx`` is a
+    MERGEABLE sketch — partial aggregation map-side, #groups rows cross
+    the shuffle, and no per-group sort ever happens; the thresholds come
+    back via a broadcast join. Kept counts are approximate at sketch
+    accuracy (1/accuracy quantile error) and rows tied at the threshold
+    all survive — exactness is what ``top_fraction_per_group`` is for."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    q = F.percentile_approx(score_col, F.lit(1.0 - fraction), F.lit(accuracy)).alias("_thr")
+    if group_col is None:
+        thr = df.agg(q)
+        return df.join(F.broadcast(thr)).filter(F.col(score_col) >= F.col("_thr")).drop("_thr")
+    thr = df.groupBy(group_col).agg(q)
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .filter(F.col(score_col) >= F.col("_thr"))
+        .drop("_thr")
     )

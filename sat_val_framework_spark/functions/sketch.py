@@ -110,3 +110,52 @@ def cms_estimate(
         .groupBy("key")
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
     )
+
+
+def hll_build(
+    df: DataFrame,
+    key_col: str,
+    group_col: str | None = None,
+    lgk: int = 14,
+) -> DataFrame:
+    """HyperLogLog sketch as DATA: -> (group?, hll: binary) via Spark 4's
+    Datasketches ``hll_sketch_agg``. The cardinality complement of the CMS
+    frequency sketch above, and the same scale story: a 10^12-row corpus's
+    per-partition distinct-count state is a ~2^lgk-byte blob per group that
+    PERSISTS (checkpoint metrics table) and MERGES (``hll_merge``) — a
+    resumed run unions yesterday's sketches with today's partitions instead
+    of rescanning history, which an ``approx_count_distinct`` scalar can
+    never do.
+
+    Caveat the tests encode: the serialized bytes are NOT canonical across
+    aggregation orders while the sketch sits in sparse mode — compare
+    ESTIMATES (order-independent: a function of the coupon set), never
+    blobs. NULL keys are dropped (no identity under distinct-count; same
+    contract as cms_build). Relative standard error ≈ 1.04/sqrt(2^lgk)
+    (~0.8% at the default lgk=14)."""
+    df = df.filter(F.col(key_col).isNotNull())
+    agg = F.hll_sketch_agg(F.col(key_col).cast("string"), F.lit(lgk)).alias("hll")
+    if group_col is None:
+        return df.agg(agg)
+    return df.groupBy(group_col).agg(agg)
+
+
+def hll_merge(a: DataFrame, b: DataFrame, group_col: str | None = None) -> DataFrame:
+    """Union per group: sketches over disjoint (or overlapping — HLL is
+    idempotent under re-insertion) data merge into the sketch of the union.
+    Same-lgk unions only: a silent lgk downgrade would loosen the error
+    bound the caller sized; Spark raises otherwise."""
+    u = a.unionByName(b)
+    agg = F.hll_union_agg("hll", False).alias("hll")
+    if group_col is None:
+        return u.agg(agg)
+    return u.groupBy(group_col).agg(agg)
+
+
+def hll_estimate(sketches: DataFrame, group_col: str | None = None) -> DataFrame:
+    """-> (group?, distinct_est: bigint). Pure projection — no shuffle; the
+    sketch column is assumed already one-row-per-group (hll_build/merge)."""
+    cols = ([F.col(group_col)] if group_col else []) + [
+        F.hll_sketch_estimate("hll").alias("distinct_est")
+    ]
+    return sketches.select(*cols)

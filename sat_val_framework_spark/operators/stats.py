@@ -369,6 +369,97 @@ def quantile_verdicts_from_wide(
     )
 
 
+def outlier_check(
+    df: DataFrame,
+    column: str,
+    part_col: str = "part_id",
+    k: float = 1.5,
+    max_outlier_rate: float = 0.05,
+    approx: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Tail-heaviness CONSTRAINT: FAIL a partition when more than
+    ``max_outlier_rate`` of its non-NULL values fall outside the
+    partition's OWN Tukey fences (q25 ± k·IQR). The quantile kind catches
+    the center walking away; this catches the tails fattening (sensor
+    glitch burst, corrupted long-tail injection) while staying
+    scale-free — fences derive from each partition's own quartiles, so a
+    unit change alone never trips it.
+
+    Fences are PER-PARTITION deliberately: global fences would depend on
+    which partitions a resumed run still scans (resume-pruned input ⇒
+    verdicts drifting across resumes — the checkpoint-noop contract
+    forbids that). Per-partition fences make every verdict a pure function
+    of its partition's rows.
+
+    Plan: one fence hash-agg per partition (mergeable percentile_approx by
+    default; approx=False = exact percentile for oracle-grade runs), the
+    #parts-row fence frame broadcast back, one counting hash-agg.
+    Predicates coalesce through when/otherwise — the NULL-under-sum bug
+    class. Zero-observation partitions get the drift family's typed
+    EmptySeriesError."""
+    if not 0.0 <= max_outlier_rate < 1.0:
+        raise ValueError(f"max_outlier_rate must be in [0, 1), got {max_outlier_rate}")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    v = F.col(column).cast("double")
+    qf = (
+        (lambda p: F.percentile_approx(v, F.lit(p), F.lit(accuracy)))
+        if approx
+        else (lambda p: F.percentile(v, F.lit(p)))
+    )
+    q1, q3 = qf(0.25), qf(0.75)
+    fences = df.groupBy(F.col(part_col).alias("part_id")).agg(
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.count(v).alias("n_obs"),
+        F.round(q1 - k * (q3 - q1), 6).alias("fence_lo"),
+        F.round(q3 + k * (q3 - q1), 6).alias("fence_hi"),
+    )
+    counts = (
+        df.select(F.col(part_col).alias("part_id"), v.alias("__v"))
+        .join(F.broadcast(fences), "part_id")
+        .groupBy("part_id", "rows_scanned", "n_obs", "fence_lo", "fence_hi")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("__v") < F.col("fence_lo")) | (F.col("__v") > F.col("fence_hi")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_out")
+        )
+    )
+    empty = F.col("n_obs") == 0
+    rate = F.round(F.col("n_out") / F.col("n_obs"), 6)
+    breach = ~empty & (rate > max_outlier_rate)
+    return counts.select(
+        F.lit(f"outlier:{column}").alias("constraint_id"),
+        F.col("part_id"),
+        F.when(empty, F.lit(ERROR)).when(breach, F.lit(FAIL)).otherwise(F.lit(PASS)).alias(
+            "status"
+        ),
+        F.when(empty, F.lit(ERR_EMPTY_SERIES)).alias("error_kind"),
+        F.col("rows_scanned"),
+        F.when(empty, F.lit(1))
+        .when(breach, F.col("n_out"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("violation_count"),
+        F.when(
+            breach,
+            F.array(
+                F.format_string(
+                    f"outlier_rate=%s>{max_outlier_rate} (fences [%s, %s])",
+                    rate,
+                    F.col("fence_lo"),
+                    F.col("fence_hi"),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("sample_violations"),
+    )
+
+
 def distribution_entropy(df: DataFrame, col: str, group_col: str) -> DataFrame:
     """Shannon entropy (nats) of a categorical column per group — a scalar
     drift/degeneracy signal (entropy -> 0 = column collapsing). Two chained
@@ -385,6 +476,66 @@ def distribution_entropy(df: DataFrame, col: str, group_col: str) -> DataFrame:
         "grp",
         F.col("n").alias("n_rows"),
         F.round(F.log(F.col("n")) - F.col("clogc") / F.col("n"), 6).alias("entropy"),
+    )
+
+
+def outlier_fences(
+    df: DataFrame,
+    cols: list[str],
+    k: float = 1.5,
+    approx: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Tukey-fence outlier profile per numeric column: fences at
+    ``q25 - k*IQR`` / ``q75 + k*IQR`` (6dp-rounded for cross-engine
+    reproducibility) plus how many values fall outside each — the classic
+    anomaly signal a validation suite raises when a sensor column grows a
+    heavy tail (B3 stats family; same per-column contract as
+    ``perform_qc``'s granule summaries, implement.py:111-118).
+
+    Plan shape: the columns unpivot to (col_name, v) rows — len(cols)×
+    row multiply, but each output row carries ONE double, so bytes scanned
+    ≈ bytes read once — then (1) one hash-agg computes the quantiles per
+    column (exact ``percentile`` for oracle parity; approx=True switches to
+    the mergeable ``percentile_approx`` sketch, the 10^12-row path), and
+    (2) a broadcast join of the len(cols)-row fence frame feeds one
+    counting hash-agg. Two scans of the unpivoted frame, zero windows,
+    zero driver-side data. NULLs: excluded from quantiles and counts
+    (coalesced predicates — the fused pv_oob NULL-under-sum bug class)."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    vals = df.select(
+        *[F.col(c).cast("double").alias(c) for c in cols]  # prunes the scan too
+    ).unpivot([], cols, "col_name", "v")
+    qf = (
+        (lambda p: F.percentile_approx("v", p, accuracy))
+        if approx
+        else (lambda p: F.percentile("v", p))
+    )
+    q1, q3 = qf(0.25), qf(0.75)
+    fences = vals.groupBy("col_name").agg(
+        F.count("v").alias("n_values"),
+        F.round(q1 - k * (q3 - q1), 6).alias("fence_lo"),
+        F.round(q3 + k * (q3 - q1), 6).alias("fence_hi"),
+    )
+    return (
+        vals.join(F.broadcast(fences), "col_name")
+        .groupBy("col_name", "n_values", "fence_lo", "fence_hi")
+        .agg(
+            F.sum(F.when(F.col("v") < F.col("fence_lo"), 1).otherwise(0)).alias("n_low"),
+            F.sum(F.when(F.col("v") > F.col("fence_hi"), 1).otherwise(0)).alias("n_high"),
+        )
+        .select(
+            "col_name",
+            "n_values",
+            "fence_lo",
+            "fence_hi",
+            "n_low",
+            "n_high",
+            F.round((F.col("n_low") + F.col("n_high")) / F.col("n_values"), 6).alias(
+                "outlier_rate"
+            ),
+        )
     )
 
 

@@ -559,6 +559,25 @@ def run_suite(
                 accuracy=int(c.params.get("accuracy", 10_000)),
             )
             emit(out, c.params_json, t0)
+        elif c.kind == "outlier":
+            from sat_val_framework_spark.operators.stats import outlier_check
+
+            # rides the same derived-series plumbing as quantile/profile
+            # (n_spans / text_len / any top-level numeric column)
+            scoped, todo = pending_filter(c.constraint_id, _numeric_frame(docs, c.column, part_col))
+            if not todo:
+                skipped.append(c.constraint_id)
+                return
+            out = outlier_check(
+                scoped,
+                c.column,
+                part_col,
+                k=float(c.params.get("k", 1.5)),
+                max_outlier_rate=float(c.params["max_outlier_rate"]),
+                approx=bool(c.params.get("approx", True)),
+                accuracy=int(c.params.get("accuracy", 10_000)),
+            )
+            emit(out, c.params_json, t0)
         elif c.kind == "profile":
             from sat_val_framework_spark.operators.stats import profile_check
 

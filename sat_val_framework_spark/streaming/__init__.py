@@ -6,6 +6,7 @@ from sat_val_framework_spark.streaming.contamination_stream import (
 from sat_val_framework_spark.streaming.dedup_stream import streaming_dedup
 from sat_val_framework_spark.streaming.drift_stream import streaming_drift
 from sat_val_framework_spark.streaming.neardup_stream import streaming_neardup
+from sat_val_framework_spark.streaming.outlier_stream import streaming_outlier
 from sat_val_framework_spark.streaming.profile_stream import streaming_profile
 from sat_val_framework_spark.streaming.qc_stream import streaming_schema_assert, streaming_stats
 from sat_val_framework_spark.streaming.session_stream import streaming_sessionize
@@ -21,4 +22,5 @@ __all__ = [
     "streaming_ngram_decontam",
     "streaming_neardup",
     "streaming_categorical_drift",
+    "streaming_outlier",
 ]

@@ -32,6 +32,8 @@ KINDS = frozenset(
         "fd",             # functional dependency 'determinant->dependent'
                           # (uniqueness generalized: A3 invariants)
         "quantile",       # robust-location bound: q-quantile within [lo, hi]
+        "outlier",        # tail-heaviness bound: Tukey-fence outlier rate
+                          # (q25±k·IQR, per-partition fences) <= max
         "drift_categorical",  # tv/js vs a configured categorical baseline
                               # (unordered columns: kinds, sources, langs)
         "repetition",     # per-doc Gopher repetition signals thresholded
@@ -174,6 +176,42 @@ class CheckSuite:
                             SuiteConfigError(
                                 f"{c.constraint_id}: drift column '{col}' must be numeric, "
                                 f"got {_field_type(schema, col).simpleString()}"
+                            )
+                        )
+            if c.kind == "outlier":
+                rate = c.params.get("max_outlier_rate")
+                if rate is None or not isinstance(rate, (int, float)) or not 0 <= rate < 1:
+                    errors.append(
+                        SuiteConfigError(
+                            f"{c.constraint_id}: params.max_outlier_rate in [0, 1) required"
+                        )
+                    )
+                kk = c.params.get("k", 1.5)
+                if not isinstance(kk, (int, float)) or kk <= 0:
+                    errors.append(
+                        SuiteConfigError(f"{c.constraint_id}: params.k must be positive")
+                    )
+                if c.column and "." in c.column:
+                    # dotted columns break constraint-id parity (operator
+                    # embeds the full path, Check.constraint_id the leaf) —
+                    # the resume-forever class, same rule as quantile
+                    errors.append(
+                        SuiteConfigError(
+                            f"{c.constraint_id}: outlier column must be a dot-free "
+                            f"top-level column, got '{c.column}'"
+                        )
+                    )
+                elif c.column and c.column not in derived:
+                    ft = _field_type(schema, c.column)
+                    if ft is None:
+                        errors.append(
+                            SuiteConfigError(f"{c.constraint_id}: column '{c.column}' not in schema")
+                        )
+                    elif not isinstance(ft, T.NumericType):
+                        errors.append(
+                            SuiteConfigError(
+                                f"{c.constraint_id}: outlier column '{c.column}' must be "
+                                f"numeric, got {ft.simpleString()}"
                             )
                         )
             if c.kind == "quantile":

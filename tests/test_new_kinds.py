@@ -312,3 +312,60 @@ def test_quantile_and_profile_on_derived_text_len(spark, tmp_path):
     assert st[(p, 0)]["status"] == "FAIL"  # both spans are length 5 -> top share 1.0
     res2 = run_suite(spark, docs, suite, checkpoint_path=path, run_id="tl1")
     assert res2.verdicts.count() == 0
+
+
+def test_outlier_kind_tukey_rate_per_partition(spark, tmp_path):
+    """'outlier' kind: FAIL a partition whose own-Tukey-fence outlier rate
+    exceeds max_outlier_rate; clean partitions PASS; a no-observation
+    partition gets the drift family's EmptySeriesError; resume is a noop;
+    config survives the JSON round-trip."""
+    import sat_val_framework_spark.fixtures as fx
+
+    span = lambda i: ("text", "w", None, i)  # noqa: E731
+    rows = (
+        # part 0: span counts 2/3 only -> fences [2-1.5, 3+1.5], rate 0
+        [(f"a{i}", 0, [span(j) for j in range(2 + i % 2)]) for i in range(10)]
+        # part 1: 18 clean docs + 2 docs with 30 spans -> rate 0.1 > 0.05
+        + [(f"b{i}", 1, [span(j) for j in range(2 + i % 2)]) for i in range(18)]
+        + [(f"B{i}", 1, [span(j) for j in range(30)]) for i in range(2)]
+        # part 2: no spans at all -> n_obs = 0 -> typed ERROR
+        + [(f"c{i}", 2, None) for i in range(2)]
+    )
+    docs = spark.createDataFrame(rows, fx.DOCUMENTS_SCHEMA)
+    suite = CheckSuite([
+        Check("outlier", "n_spans", {"max_outlier_rate": 0.05, "k": 1.5}),
+    ])
+    suite2 = CheckSuite.from_json(suite.to_json())
+    assert suite2.checks == suite.checks
+
+    path = str(tmp_path / "ck")
+    res = run_suite(spark, docs, suite2, checkpoint_path=path, run_id="ol1")
+    st = {(r["constraint_id"], r["part_id"]): r for r in res.verdicts.collect()}
+    cid = "outlier:n_spans"
+    assert set(st) == {(cid, 0), (cid, 1), (cid, 2)}
+    assert st[(cid, 0)]["status"] == "PASS" and st[(cid, 0)]["violation_count"] == 0
+    assert st[(cid, 1)]["status"] == "FAIL" and st[(cid, 1)]["violation_count"] == 2
+    assert "outlier_rate=0.1>" in st[(cid, 1)]["sample_violations"][0]
+    assert st[(cid, 2)]["status"] == "ERROR"
+    assert st[(cid, 2)]["error_kind"] == "EmptySeriesError"
+    assert st[(cid, 0)]["rows_scanned"] == 10 and st[(cid, 1)]["rows_scanned"] == 20
+
+    res2 = run_suite(spark, docs, suite2, checkpoint_path=path, run_id="ol1")
+    assert res2.verdicts.count() == 0  # ERROR is EmptySeriesError: data-inherent, done
+
+
+def test_outlier_kind_config_validation(spark, docs):
+    errs = lambda ck: [str(e) for e in CheckSuite([ck]).validate(docs)]  # noqa: E731
+    assert any("max_outlier_rate" in e for e in errs(Check("outlier", "n_spans", {})))
+    assert any("max_outlier_rate" in e
+               for e in errs(Check("outlier", "n_spans", {"max_outlier_rate": 1.0})))
+    assert any("k must be positive" in e
+               for e in errs(Check("outlier", "n_spans", {"max_outlier_rate": 0.1, "k": 0})))
+    assert any("must be numeric" in e
+               for e in errs(Check("outlier", "doc_id", {"max_outlier_rate": 0.1})))
+    assert any("not in schema" in e
+               for e in errs(Check("outlier", "nope", {"max_outlier_rate": 0.1})))
+    assert any("dot-free" in e
+               for e in errs(Check("outlier", "spans.kind", {"max_outlier_rate": 0.1})))
+    assert not errs(Check("outlier", "n_spans", {"max_outlier_rate": 0.1}))
+    assert not errs(Check("outlier", "text_len", {"max_outlier_rate": 0.1}))

@@ -13,8 +13,10 @@ from sat_val_framework_spark.functions.packing import pack_sequences
 from sat_val_framework_spark.functions.sampling import (
     hash_sample,
     mix_sample,
+    quantile_threshold_filter,
     stratified_sample,
     target_mix_fractions,
+    top_fraction_per_group,
     train_test_split,
 )
 
@@ -194,3 +196,42 @@ def test_keep_best_per_cluster_quality_keeper(spark):
     assert best == {2, 7, 42}
     minid = {r["doc_id"] for r in keep_one_per_cluster(docs, clusters).collect()}
     assert minid == {1, 7, 42}
+
+
+def test_top_fraction_per_group_exact_counts_and_ties(spark):
+    """ceil(frac*n) rows kept per group, highest score first, ties -> lowest
+    id; result invariant under repartitioning (python oracle)."""
+    rows = [("a", i, score) for i, score in enumerate([5, 9, 9, 1, 7, 3, 9])] + \
+           [("b", 100 + i, i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["grp", "id", "score"])
+    out = top_fraction_per_group(df, "grp", "score", 0.3, "id")
+    got = {(r["grp"], r["id"]) for r in out.collect()}
+    # a: n=7 -> ceil(2.1)=3 kept: scores 9,9,9 at ids 1,2,6 (tie -> low id)
+    # b: n=10 -> 3 kept: scores 9,8,7 at ids 109,108,107
+    assert got == {("a", 1), ("a", 2), ("a", 6), ("b", 109), ("b", 108), ("b", 107)}
+    again = {(r["grp"], r["id"])
+             for r in top_fraction_per_group(df.repartition(7), "grp", "score", 0.3, "id").collect()}
+    assert again == got
+    with pytest.raises(ValueError):
+        top_fraction_per_group(df, "grp", "score", 1.5, "id")
+
+
+def test_quantile_threshold_filter_scale_path(spark):
+    """Sketch-threshold variant: per-group and global; on small exact-sketch
+    data it keeps >= the exact top-fraction set and every kept score beats
+    every dropped score within a group."""
+    rows = [("a", i, float(i)) for i in range(100)] + \
+           [("b", 1000 + i, float(i % 10)) for i in range(50)]
+    df = spark.createDataFrame(rows, ["grp", "id", "score"])
+    out = quantile_threshold_filter(df, "score", 0.25, group_col="grp")
+    per = {}
+    for r in out.collect():
+        per.setdefault(r["grp"], []).append(r["score"])
+    # group a: distinct scores 0..99, exact quantile -> ~25 kept
+    assert 25 <= len(per["a"]) <= 27 and min(per["a"]) >= 74.0
+    # group b: heavy ties at the threshold all survive
+    assert all(s >= min(per["b"]) for s in per["b"])
+    glob = quantile_threshold_filter(df, "score", 0.1)
+    assert 0 < glob.count() < 150
+    with pytest.raises(ValueError):
+        quantile_threshold_filter(df, "score", -0.1)

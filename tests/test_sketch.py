@@ -61,3 +61,50 @@ def test_cms_xxhash_path_same_guarantees(spark, keyed):
     keys = keyed.select("k").distinct()
     est = {int(r["key"]): r["cms_est"] for r in cms_estimate(sketch, keys, "k", hash_fn="xxhash64").collect()}
     assert all(est[k] >= n for k, n in truth.items())
+
+
+def test_hll_estimate_accuracy_and_null_exclusion(spark):
+    """HLL distinct estimates within ~3x RSE of exact per group; NULL keys
+    excluded; small-cardinality groups exact (sparse mode)."""
+    from sat_val_framework_spark.functions.sketch import hll_build, hll_estimate
+
+    rows = [("big", f"k{i % 5000}") for i in range(20000)] + \
+           [("small", f"s{i}") for i in range(37)] + [("small", None)] * 5
+    df = spark.createDataFrame(rows, ["g", "k"])
+    est = {r["g"]: r["distinct_est"] for r in
+           hll_estimate(hll_build(df, "k", group_col="g", lgk=12), "g").collect()}
+    assert est["small"] == 37  # sparse mode is exact; NULLs never entered
+    rse = 1.04 / (2 ** 12) ** 0.5
+    assert abs(est["big"] - 5000) <= 3 * rse * 5000
+
+    # ungrouped path
+    total = hll_estimate(hll_build(df, "k", lgk=12)).collect()[0]["distinct_est"]
+    assert abs(total - 5037) <= 3 * rse * 5037
+
+
+def test_hll_merge_estimate_equals_sketch_of_union(spark):
+    """Mergeability — the persist-and-resume property: per-half sketches
+    union to the same ESTIMATE as one sketch over everything (bytes are not
+    canonical in sparse mode; estimates are), overlapping halves included
+    (idempotent under re-insertion)."""
+    from sat_val_framework_spark.functions.sketch import hll_build, hll_estimate, hll_merge
+
+    rows = [("g", f"k{i}") for i in range(3000)]
+    df = spark.createDataFrame(rows, ["g", "k"])
+    a = df.filter(F.col("k").substr(2, 10).cast("int") < 2000)   # k0..k1999
+    b = df.filter(F.col("k").substr(2, 10).cast("int") >= 1500)  # k1500.. (overlap)
+    merged = hll_merge(hll_build(a, "k", "g"), hll_build(b, "k", "g"), "g")
+    est_m = hll_estimate(merged, "g").collect()[0]["distinct_est"]
+    est_w = hll_estimate(hll_build(df, "k", "g"), "g").collect()[0]["distinct_est"]
+    # dense mode: the union gadget's representation differs from a direct
+    # sketch, so estimates agree to RSE, not bit-for-bit (measured: 3008 vs
+    # 3006 at lgk=12) — both must sit inside the error band around truth
+    rse = 1.04 / (2 ** 12) ** 0.5
+    assert abs(est_m - 3000) <= 3 * rse * 3000
+    assert abs(est_w - 3000) <= 3 * rse * 3000
+
+    # sparse/exact regime: merge IS exact, including the overlap dedup
+    sa = spark.createDataFrame([("g", f"x{i}") for i in range(40)], ["g", "k"])
+    sb = spark.createDataFrame([("g", f"x{i}") for i in range(25, 60)], ["g", "k"])
+    m = hll_merge(hll_build(sa, "k", "g"), hll_build(sb, "k", "g"), "g")
+    assert hll_estimate(m, "g").collect()[0]["distinct_est"] == 60

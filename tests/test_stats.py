@@ -206,3 +206,42 @@ def test_frequent_values_null_heavy_hitter_gets_distinct_rank(spark):
     got = {r["rank"]: (r["value"], r["n"]) for r in frequent_values(df, "x", k=3).collect()}
     # NULL (n=5) ties with 'a' (n=5): NULL first, ranks distinct
     assert got == {1: (None, 5), 2: ("a", 5), 3: ("b", 2)}
+
+
+def test_outlier_fences_matches_numpy(spark):
+    """Tukey fences + outside counts vs a numpy oracle, incl. NULL exclusion
+    and a column with zero outliers."""
+    import numpy as np
+
+    from sat_val_framework_spark.operators.stats import outlier_fences
+
+    rng = np.random.default_rng(7)
+    a = np.concatenate([rng.normal(50, 5, 400), [500.0, -400.0, 999.0]])  # heavy tail
+    b = np.linspace(0.0, 1.0, 403)  # uniform: no Tukey outliers
+    rows = [(float(a[i]), float(b[i]) if i % 7 else None) for i in range(403)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    out = {r["col_name"]: r for r in outlier_fences(df, ["a", "b"], k=1.5).collect()}
+
+    for col, vals in (("a", a), ("b", np.array([b[i] for i in range(403) if i % 7]))):
+        q1, q3 = np.quantile(vals, 0.25), np.quantile(vals, 0.75)  # linear interp
+        lo = round(q1 - 1.5 * (q3 - q1), 6)
+        hi = round(q3 + 1.5 * (q3 - q1), 6)
+        r = out[col]
+        assert r["n_values"] == len(vals)
+        assert abs(r["fence_lo"] - lo) < 1e-9 and abs(r["fence_hi"] - hi) < 1e-9
+        assert r["n_low"] == int((vals < lo).sum())
+        assert r["n_high"] == int((vals > hi).sum())
+    # the injected extremes are certainly outside (plus any natural tail
+    # points — exact counts already checked against numpy above)
+    assert out["a"]["n_high"] >= 2 and out["a"]["n_low"] >= 1
+    assert out["b"]["n_low"] == 0 and out["b"]["n_high"] == 0
+    assert out["b"]["outlier_rate"] == 0.0
+
+    # approx sketch path agrees on clean data at high accuracy
+    approx = {r["col_name"]: r for r in
+              outlier_fences(df, ["a"], k=1.5, approx=True, accuracy=100000).collect()}
+    assert approx["a"]["n_low"] + approx["a"]["n_high"] >= 3
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        outlier_fences(df, [])

@@ -343,3 +343,45 @@ def test_streaming_ngram_decontam_matches_batch(spark, tmp_path):
         .filter("n_hits > 0").collect()
     }
     assert {(r["doc_id"], r["n_hits"]) for r in rows} == batch
+
+
+def test_streaming_outlier_monitor(spark, tmp_path):
+    """Per-epoch Tukey outlier-rate verdicts == the batch outlier_check on
+    the same rows (one code path); the injected-tail partition FAILs in its
+    epoch, the clean one PASSes, the span-less one gets the typed ERROR."""
+    from sat_val_framework_spark.operators.stats import outlier_check
+    from sat_val_framework_spark.profile import with_n_spans
+    from sat_val_framework_spark.streaming import streaming_outlier
+
+    span = lambda i: ("text", "w", None, i)  # noqa: E731
+    rows = (
+        [(f"a{i}", 0, [span(j) for j in range(2 + i % 2)]) for i in range(10)]
+        + [(f"b{i}", 1, [span(j) for j in range(2 + i % 2)]) for i in range(18)]
+        + [(f"B{i}", 1, [span(j) for j in range(30)]) for i in range(2)]
+        + [(f"c{i}", 2, None) for i in range(2)]
+    )
+    docs = spark.createDataFrame(rows, fx.DOCUMENTS_SCHEMA)
+    in_dir = str(tmp_path / "docs_in")
+    docs.coalesce(1).write.parquet(in_dir)
+
+    sink = str(tmp_path / "outlier_sink")
+    q = streaming_outlier(spark, in_dir, sink, column="n_spans", max_outlier_rate=0.05)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["part_id"]: r for r in spark.read.parquet(sink).collect()}
+    assert got[0]["status"] == "PASS"
+    assert got[1]["status"] == "FAIL" and got[1]["violation_count"] == 2
+    assert got[2]["status"] == "ERROR" and got[2]["error_kind"] == "EmptySeriesError"
+
+    # one code path: the streamed verdicts equal the batch operator's
+    batch = {
+        r["part_id"]: r
+        for r in outlier_check(
+            with_n_spans(docs), "n_spans", max_outlier_rate=0.05
+        ).collect()
+    }
+    for p, r in got.items():
+        for f in ("constraint_id", "status", "rows_scanned", "violation_count",
+                  "sample_violations", "error_kind"):
+            assert r[f] == batch[p][f], (p, f)
