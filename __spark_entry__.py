@@ -616,6 +616,35 @@ def q_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-free corpus-overlap screening (sketch.py:hll_overlap_estimate):
+    |documents ∩ embeddings| by id via inclusion-exclusion over two HLL
+    sketches — one scan per side, a 1-row cross join, no shuffle-join of
+    the corpora. lgk=17 keeps both sf tiers in the sketch's exact regime so
+    the estimates themselves sit under the value-hash gate (probed: exact
+    through 7000 distinct; the dense-mode RSE band is the pytest contract).
+    At 100 TB this is the cheap 'is an expensive contamination/backfill
+    pass even needed, and how big is it' probe."""
+    from sat_val_framework_spark.functions.sketch import hll_build, hll_overlap_estimate
+
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    e = _t(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("id"))
+    return hll_overlap_estimate(hll_build(d, "id", lgk=17), hll_build(e, "id", lgk=17))
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft quality gate: keep each doc with probability n_chars/2000
+    (clipped at 1) — deterministic per (doc_id, salt), so reruns and
+    repartitions keep the same rows (functions/sampling.py:weighted_sample).
+    Pure pushed-down predicate, no shuffle, no RNG."""
+    from sat_val_framework_spark.functions.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "w", F.round(F.col("n_chars") / F.lit(2000.0), 6)
+    )
+    return weighted_sample(d, "w", "doc_id").select("doc_id", "source", "n_chars")
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-priority dedup keeper: MinHash-LSH candidate pairs ->
     connected components -> keep the LONGEST copy per cluster (ties ->
@@ -1180,6 +1209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_fraction": q_top_fraction,
         "outlier_fences": q_outlier_fences,
         "distinct_hll": q_distinct_hll,
+        "corpus_overlap": q_corpus_overlap,
+        "weighted_sample": q_weighted_sample,
         # --- round-4-checked 50 ---
         "lsh_capped": q_lsh_capped,
         "lsh_oversized": q_lsh_oversized,
@@ -1801,6 +1832,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars FROM documents
             WHERE ('0x' || substr(md5('v1:' || doc_id::varchar), 1, 15))::bigint
                   % 1000000 < 250000
+        """,
+        "weighted_sample": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE ('0x' || substr(md5('w1:' || doc_id::varchar), 1, 15))::bigint
+                  % 1000000
+                  < trunc(least(round(n_chars / 2000.0, 6), 1.0) * 1000000)::BIGINT
+        """,
+        "corpus_overlap": """
+            WITH a AS (SELECT count(DISTINCT doc_id)::BIGINT AS est_a FROM documents),
+                 b AS (SELECT count(DISTINCT vec_id)::BIGINT AS est_b FROM embeddings),
+                 u AS (SELECT count(*)::BIGINT AS est_union FROM (
+                     SELECT doc_id AS id FROM documents
+                     UNION SELECT vec_id FROM embeddings))
+            SELECT est_a, est_b, est_union,
+                   greatest(0, est_a + est_b - est_union)::BIGINT AS overlap_est
+            FROM a, b, u
         """,
         "mix_sample": """
             WITH tgt(source, t) AS (

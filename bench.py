@@ -83,6 +83,8 @@ HEADLINE = [
     "top_fraction",
     "outlier_fences",
     "distinct_hll",
+    "corpus_overlap",
+    "weighted_sample",
 ]
 
 

@@ -136,6 +136,28 @@ def mix_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    salt: str = "w1",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Per-row Bernoulli keep with probability = the row's own weight
+    (clipped to [0, 1]; NULL weight = drop) — "sample proportional to
+    quality score", the soft version of a hard quality cutoff. Membership
+    is still a pure function of (key, salt) like every sampler here: the
+    weight moves the threshold, the hash supplies the determinism, so a
+    rerun, retry, or repartition keeps exactly the same rows, and the
+    SAME key keeps the same draw across tables (a doc and its spans
+    sampled with one salt survive together when their weights match).
+    Pure pushed-down predicate; no shuffle, no RNG."""
+    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.filter(
+        _key_bucket(F.col(key_col), salt, hash_fn) < (w * _BUCKETS).cast("long")
+    )
+
+
 def top_fraction_per_group(
     df: DataFrame,
     group_col: str,

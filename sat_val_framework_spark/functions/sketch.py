@@ -152,6 +152,45 @@ def hll_merge(a: DataFrame, b: DataFrame, group_col: str | None = None) -> DataF
     return u.groupBy(group_col).agg(agg)
 
 
+def hll_overlap_estimate(
+    a: DataFrame, b: DataFrame, group_col: str | None = None
+) -> DataFrame:
+    """Corpus-overlap screening from two sketch frames (hll_build output):
+    -> (group?, est_a, est_b, est_union, overlap_est) with
+    ``overlap_est = max(0, est_a + est_b - est_union)`` (inclusion-
+    exclusion; the union comes from the pairwise ``hll_union`` of the two
+    binary sketches — a pure per-row expression, no aggregation).
+
+    The 100 TB use: estimate |train ∩ benchmark| BEFORE paying for the
+    exact LSH contamination pass — two sketch builds (one scan each side)
+    and a #groups-row join decide whether the expensive verify is needed
+    at all, and per-group overlap localizes WHERE. Sparse-regime sketches
+    give exact overlap (tested); dense mode inherits the subtraction's
+    amplified relative error — a screening signal, not a verdict, which is
+    why the exact n-gram/LSH kinds stay the enforcement path."""
+    sel_a = ([F.col(group_col)] if group_col else []) + [F.col("hll").alias("__ha")]
+    sel_b = ([F.col(group_col)] if group_col else []) + [F.col("hll").alias("__hb")]
+    pa, pb = a.select(*sel_a), b.select(*sel_b)
+    # outer join: a group present on one side only has overlap 0 by
+    # definition, not a dropped row
+    joined = (
+        pa.join(pb, group_col, "full_outer") if group_col else pa.crossJoin(pb)
+    )  # ungrouped frames are 1-row each: the cross join is metadata-sized
+    ea = F.coalesce(F.hll_sketch_estimate("__ha"), F.lit(0)).alias("est_a")
+    eb = F.coalesce(F.hll_sketch_estimate("__hb"), F.lit(0)).alias("est_b")
+    union = F.when(
+        F.col("__ha").isNull(), F.hll_sketch_estimate("__hb")
+    ).when(
+        F.col("__hb").isNull(), F.hll_sketch_estimate("__ha")
+    ).otherwise(F.hll_sketch_estimate(F.hll_union("__ha", "__hb"))).alias("est_union")
+    cols = ([F.col(group_col)] if group_col else []) + [ea, eb, union]
+    out = joined.select(*cols)
+    return out.withColumn(
+        "overlap_est",
+        F.greatest(F.lit(0), F.col("est_a") + F.col("est_b") - F.col("est_union")),
+    )
+
+
 def hll_estimate(sketches: DataFrame, group_col: str | None = None) -> DataFrame:
     """-> (group?, distinct_est: bigint). Pure projection — no shuffle; the
     sketch column is assumed already one-row-per-group (hll_build/merge)."""

@@ -198,6 +198,31 @@ def test_keep_best_per_cluster_quality_keeper(spark):
     assert minid == {1, 7, 42}
 
 
+def test_weighted_sample_deterministic_and_weight_monotone(spark):
+    """Keep probability tracks the row's weight (w=0 none, w=1 all, w=0.5
+    roughly half), membership is repartition-invariant, NULL/out-of-range
+    weights clip or drop; md5 and xxhash64 paths both hold the contract."""
+    from sat_val_framework_spark.functions.sampling import weighted_sample
+
+    rows = [(f"k{i}", w) for i in range(400) for w in (0.0, 0.5, 1.0)]
+    df = spark.createDataFrame(rows, ["k", "w"]).withColumn(
+        "k", F.concat("k", F.format_number("w", 1)))
+    for hf in ("md5", "xxhash64"):
+        kept = weighted_sample(df, "w", "k", hash_fn=hf)
+        by_w = {r["w"]: r["n"] for r in kept.groupBy("w").count()
+                .withColumnRenamed("count", "n").collect()}
+        assert 0.0 not in by_w                # w=0 keeps nothing
+        assert by_w[1.0] == 400               # w=1 keeps everything
+        assert 130 <= by_w[0.5] <= 270        # ~half, hash-binomial slack
+        again = weighted_sample(df.repartition(13), "w", "k", hash_fn=hf)
+        assert {(r["k"], r["w"]) for r in again.collect()} == \
+               {(r["k"], r["w"]) for r in kept.collect()}
+    odd = spark.createDataFrame(
+        [("a", None), ("b", 7.5), ("c", -3.0)], ["k", "w"])
+    got = {r["k"] for r in weighted_sample(odd, "w", "k").collect()}
+    assert got == {"b"}  # NULL drops, >1 clips to 1 (kept), <0 clips to 0
+
+
 def test_top_fraction_per_group_exact_counts_and_ties(spark):
     """ceil(frac*n) rows kept per group, highest score first, ties -> lowest
     id; result invariant under repartitioning (python oracle)."""

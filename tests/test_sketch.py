@@ -108,3 +108,33 @@ def test_hll_merge_estimate_equals_sketch_of_union(spark):
     sb = spark.createDataFrame([("g", f"x{i}") for i in range(25, 60)], ["g", "k"])
     m = hll_merge(hll_build(sa, "k", "g"), hll_build(sb, "k", "g"), "g")
     assert hll_estimate(m, "g").collect()[0]["distinct_est"] == 60
+
+
+def test_hll_overlap_estimate_sparse_exact_and_disjoint_groups(spark):
+    """Inclusion-exclusion overlap: exact in the sparse regime (|A∩B|=15),
+    zero for disjoint sets, and one-sided groups report overlap 0 instead
+    of dropping; the ungrouped path cross-joins two 1-row frames."""
+    from sat_val_framework_spark.functions.sketch import hll_build, hll_overlap_estimate
+
+    a = spark.createDataFrame(
+        [("g1", f"x{i}") for i in range(40)]          # g1: x0..x39
+        + [("g2", f"y{i}") for i in range(20)]        # g2: y0..y19
+        + [("only_a", f"z{i}") for i in range(7)],
+        ["g", "k"],
+    )
+    b = spark.createDataFrame(
+        [("g1", f"x{i}") for i in range(25, 60)]      # g1 overlap: x25..x39 = 15
+        + [("g2", f"w{i}") for i in range(30)]        # g2: disjoint
+        + [("only_b", f"q{i}") for i in range(9)],
+        ["g", "k"],
+    )
+    out = {r["g"]: r for r in hll_overlap_estimate(
+        hll_build(a, "k", "g"), hll_build(b, "k", "g"), "g").collect()}
+    assert out["g1"]["overlap_est"] == 15
+    assert (out["g1"]["est_a"], out["g1"]["est_b"], out["g1"]["est_union"]) == (40, 35, 60)
+    assert out["g2"]["overlap_est"] == 0
+    assert out["only_a"]["overlap_est"] == 0 and out["only_a"]["est_b"] == 0
+    assert out["only_b"]["overlap_est"] == 0 and out["only_b"]["est_a"] == 0
+
+    glob = hll_overlap_estimate(hll_build(a, "k"), hll_build(b, "k")).collect()[0]
+    assert glob["overlap_est"] == 15  # only g1's xs are shared corpus-wide
