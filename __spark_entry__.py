@@ -616,6 +616,16 @@ def q_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_verdict_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suite-report rollup over the mini-suite's verdict frame: one row per
+    constraint with status counts, pass rate, violation totals (non-ERROR
+    rows only) and the deterministic worst group — ONE hash-agg regardless
+    of scale (verdicts.py:summarize_verdicts)."""
+    from sat_val_framework_spark.verdicts import summarize_verdicts
+
+    return summarize_verdicts(q_verdict_union(spark, sf_dir), group_col="grp")
+
+
 def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-free corpus-overlap screening (sketch.py:hll_overlap_estimate):
     |documents ∩ embeddings| by id via inclusion-exclusion over two HLL
@@ -1211,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_hll": q_distinct_hll,
         "corpus_overlap": q_corpus_overlap,
         "weighted_sample": q_weighted_sample,
+        "verdict_summary": q_verdict_summary,
         # --- round-4-checked 50 ---
         "lsh_capped": q_lsh_capped,
         "lsh_oversized": q_lsh_oversized,
@@ -1457,6 +1468,37 @@ _DRIFT_EMD_SQL = (
 )
 
 
+# the mini-suite verdict frame, shared by the verdict_union twin and the
+# verdict_summary rollup twin (one source of truth for the 4 constraints)
+_VERDICT_UNION_SQL = """
+    WITH g AS (SELECT source AS grp, count(*) AS n,
+                      count(*) FILTER (text IS NULL) AS null_text,
+                      count(*) FILTER (n_chars < 1 OR n_chars > 100000) AS oob
+               FROM documents GROUP BY source),
+    dups AS (SELECT grp, sum(c) AS dup_rows FROM
+                (SELECT source AS grp, doc_id, count(*) AS c FROM documents
+                 GROUP BY source, doc_id HAVING count(*) > 1)
+             GROUP BY grp),
+    base AS (SELECT g.*, coalesce(dups.dup_rows, 0) AS dup_rows
+             FROM g LEFT JOIN dups ON g.grp = dups.grp)
+    SELECT 'rowcount' AS constraint_id, grp,
+           CASE WHEN n > 0 THEN 'PASS' ELSE 'FAIL' END AS status,
+           CASE WHEN n > 0 THEN 0 ELSE 1 END::bigint AS violation_count FROM base
+    UNION ALL
+    SELECT 'null_text', grp,
+           CASE WHEN null_text > 0 THEN 'FAIL' ELSE 'PASS' END,
+           null_text::bigint FROM base
+    UNION ALL
+    SELECT 'chars_bounds', grp,
+           CASE WHEN oob > 0 THEN 'FAIL' ELSE 'PASS' END,
+           oob::bigint FROM base
+    UNION ALL
+    SELECT 'unique_doc_id', grp,
+           CASE WHEN dup_rows > 0 THEN 'FAIL' ELSE 'PASS' END,
+           dup_rows::bigint FROM base
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "stats_per_source": """
@@ -1617,32 +1659,36 @@ def oracle_sql() -> dict[str, str]:
         # the pandas/Arrow kernel computes the same zero-filled-spine KS, so
         # the SQL twin is its oracle too (VERDICT r1 item 3)
         "drift_ks_pandas": _DRIFT_KS_SQL,
-        "verdict_union": """
-            WITH g AS (SELECT source AS grp, count(*) AS n,
-                              count(*) FILTER (text IS NULL) AS null_text,
-                              count(*) FILTER (n_chars < 1 OR n_chars > 100000) AS oob
-                       FROM documents GROUP BY source),
-            dups AS (SELECT grp, sum(c) AS dup_rows FROM
-                        (SELECT source AS grp, doc_id, count(*) AS c FROM documents
-                         GROUP BY source, doc_id HAVING count(*) > 1)
-                     GROUP BY grp),
-            base AS (SELECT g.*, coalesce(dups.dup_rows, 0) AS dup_rows
-                     FROM g LEFT JOIN dups ON g.grp = dups.grp)
-            SELECT 'rowcount' AS constraint_id, grp,
-                   CASE WHEN n > 0 THEN 'PASS' ELSE 'FAIL' END AS status,
-                   CASE WHEN n > 0 THEN 0 ELSE 1 END::bigint AS violation_count FROM base
-            UNION ALL
-            SELECT 'null_text', grp,
-                   CASE WHEN null_text > 0 THEN 'FAIL' ELSE 'PASS' END,
-                   null_text::bigint FROM base
-            UNION ALL
-            SELECT 'chars_bounds', grp,
-                   CASE WHEN oob > 0 THEN 'FAIL' ELSE 'PASS' END,
-                   oob::bigint FROM base
-            UNION ALL
-            SELECT 'unique_doc_id', grp,
-                   CASE WHEN dup_rows > 0 THEN 'FAIL' ELSE 'PASS' END,
-                   dup_rows::bigint FROM base
+        "verdict_union": _VERDICT_UNION_SQL,
+        "verdict_summary": f"""
+            WITH verdicts AS ({_VERDICT_UNION_SQL}),
+            ranked AS (
+                SELECT constraint_id, grp, status, violation_count,
+                       row_number() OVER (
+                           PARTITION BY constraint_id
+                           ORDER BY CASE WHEN status = 'ERROR' THEN 0
+                                         ELSE violation_count END DESC, grp
+                       ) AS rn
+                FROM verdicts),
+            agg AS (
+                SELECT constraint_id,
+                       count(*)::BIGINT AS n_groups,
+                       sum(CASE WHEN status = 'PASS' THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+                       sum(CASE WHEN status = 'FAIL' THEN 1 ELSE 0 END)::BIGINT AS n_fail,
+                       sum(CASE WHEN status = 'ERROR' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+                       coalesce(sum(CASE WHEN status <> 'ERROR'
+                                         THEN violation_count END), 0)::BIGINT AS total_violations,
+                       coalesce(max(CASE WHEN status <> 'ERROR'
+                                         THEN violation_count END), 0)::BIGINT AS max_violations,
+                       round(sum(CASE WHEN status = 'PASS' THEN 1 ELSE 0 END)
+                             / count(*)::DOUBLE, 6) AS pass_rate
+                FROM verdicts GROUP BY constraint_id)
+            SELECT a.constraint_id, a.n_groups, a.n_pass, a.n_fail, a.n_error,
+                   a.total_violations, a.max_violations,
+                   CASE WHEN a.total_violations > 0 THEN r.grp END AS worst_group,
+                   a.pass_rate
+            FROM agg a JOIN ranked r
+              ON a.constraint_id = r.constraint_id AND r.rn = 1
         """,
         "checkpoint_pending": """
             SELECT DISTINCT source AS part_key FROM documents

@@ -85,6 +85,7 @@ HEADLINE = [
     "distinct_hll",
     "corpus_overlap",
     "weighted_sample",
+    "verdict_summary",
 ]
 
 

@@ -181,3 +181,44 @@ def bounded_samples(
         .groupBy(*group, F.col("__n").alias("violation_count"))
         .agg(F.sort_array(F.collect_list(F.col(key_col).cast("string"))).alias("sample_violations"))
     )
+
+
+def summarize_verdicts(verdicts: DataFrame, group_col: str = "part_id") -> DataFrame:
+    """Suite-report rollup: one row per constraint with group counts by
+    status, pass rate, violation totals, and the WORST group (most
+    violations; ties -> lowest group id, so the report is deterministic).
+    The per-run summary a suite owner reads before the verdict detail —
+    the reference prints this by iterating results (usable.py's run loop);
+    here it is ONE hash-agg over the verdict frame (#constraints rows out,
+    partial aggregation map-side), so it costs nothing extra at any scale.
+
+    Works on any frame with (constraint_id, <group_col>, status,
+    violation_count) — run_suite verdicts, checkpointed history, or the
+    mini-suite driver queries. ERROR groups count in n_error and n_groups
+    but not in the violation totals' semantics (their violation_count is
+    the error marker, not a measured count) — they are excluded from
+    total/max/worst."""
+    v = F.col("violation_count")
+    is_err = F.col("status") == ERROR
+    measured = F.when(~is_err, v)  # NULL for ERROR rows: ignored by sum/max
+    return (
+        verdicts.groupBy("constraint_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum((F.col("status") == PASS).cast("long")).alias("n_pass"),
+            F.sum((F.col("status") == FAIL).cast("long")).alias("n_fail"),
+            F.sum(is_err.cast("long")).alias("n_error"),
+            F.coalesce(F.sum(measured), F.lit(0)).alias("total_violations"),
+            F.coalesce(F.max(measured), F.lit(0)).alias("max_violations"),
+            F.min_by(
+                F.col(group_col).cast("string"),
+                F.struct((-F.coalesce(measured, F.lit(0))).alias("nv"), F.col(group_col).cast("string").alias("g")),
+            ).alias("worst_group"),
+        )
+        .withColumn("pass_rate", F.round(F.col("n_pass") / F.col("n_groups"), 6))
+        # a fully-passing (or all-ERROR) constraint has no worst group
+        .withColumn(
+            "worst_group",
+            F.when(F.col("total_violations") > 0, F.col("worst_group")),
+        )
+    )

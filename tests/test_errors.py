@@ -138,3 +138,34 @@ def test_empty_series_error_counts_done_on_resume(spark, tmp_path):
     r2 = run_suite(spark, docs2, suite, baseline=fx.baseline_stats_df(spark),
                    checkpoint_path=path, run_id="s1")
     assert r2.verdicts.count() == 0
+
+
+def test_summarize_verdicts_rollup(spark):
+    """One row per constraint: status counts, pass_rate, violation totals
+    over NON-ERROR rows only, deterministic worst group (ties -> lowest),
+    NULL worst for fully-passing and all-ERROR constraints."""
+    from sat_val_framework_spark.verdicts import summarize_verdicts
+
+    rows = [
+        # c1: two FAILs (tie at 5 violations -> worst = lower part), one PASS
+        ("c1", 2, "FAIL", 5), ("c1", 7, "FAIL", 5), ("c1", 1, "PASS", 0),
+        # c2: all pass
+        ("c2", 1, "PASS", 0), ("c2", 2, "PASS", 0),
+        # c3: one ERROR (violation_count=1 is the marker, not a count) + one FAIL
+        ("c3", 4, "ERROR", 1), ("c3", 5, "FAIL", 3),
+        # c4: all ERROR
+        ("c4", 9, "ERROR", 1),
+    ]
+    v = spark.createDataFrame(
+        rows, "constraint_id string, part_id int, status string, violation_count long")
+    out = {r["constraint_id"]: r for r in summarize_verdicts(v).collect()}
+    c1 = out["c1"]
+    assert (c1["n_groups"], c1["n_pass"], c1["n_fail"], c1["n_error"]) == (3, 1, 2, 0)
+    assert c1["total_violations"] == 10 and c1["max_violations"] == 5
+    assert c1["worst_group"] == "2" and abs(c1["pass_rate"] - 0.333333) < 1e-6
+    assert out["c2"]["worst_group"] is None and out["c2"]["pass_rate"] == 1.0
+    c3 = out["c3"]
+    assert (c3["n_error"], c3["total_violations"], c3["worst_group"]) == (1, 3, "5")
+    c4 = out["c4"]
+    assert (c4["n_error"], c4["total_violations"], c4["max_violations"]) == (1, 0, 0)
+    assert c4["worst_group"] is None and c4["pass_rate"] == 0.0
