@@ -616,6 +616,28 @@ def q_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'distinct' suite kind's operator: per-source cardinality-health
+    verdicts on documents.lang (value-space collapse/explosion — the
+    complement of per-key uniqueness). Exact mode for the oracle twin;
+    approx (HLL++ one-pass, mergeable) is the 10^12-row default
+    (operators/stats.py:distinct_bound_check). Samples array_join'd per
+    the driver canonicalizer rule."""
+    from sat_val_framework_spark.operators.stats import distinct_bound_check
+
+    d = _t(spark, sf_dir, "documents")
+    v = distinct_bound_check(d, "lang", part_col="source", lo=5, hi=40, approx=False)
+    return v.select(
+        "constraint_id",
+        "part_id",
+        "status",
+        "error_kind",
+        "rows_scanned",
+        "violation_count",
+        F.array_join("sample_violations", "|").alias("samples"),
+    )
+
+
 def q_verdict_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suite-report rollup over the mini-suite's verdict frame: one row per
     constraint with status counts, pass rate, violation totals (non-ERROR
@@ -1222,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overlap": q_corpus_overlap,
         "weighted_sample": q_weighted_sample,
         "verdict_summary": q_verdict_summary,
+        "distinct_bound": q_distinct_bound,
         # --- round-4-checked 50 ---
         "lsh_capped": q_lsh_capped,
         "lsh_oversized": q_lsh_oversized,
@@ -1660,6 +1683,24 @@ def oracle_sql() -> dict[str, str]:
         # the SQL twin is its oracle too (VERDICT r1 item 3)
         "drift_ks_pandas": _DRIFT_KS_SQL,
         "verdict_union": _VERDICT_UNION_SQL,
+        "distinct_bound": """
+            SELECT 'distinct:lang' AS constraint_id, source AS part_id,
+                   CASE WHEN count(lang) = 0 THEN 'ERROR'
+                        WHEN count(DISTINCT lang) < 5 OR count(DISTINCT lang) > 40
+                        THEN 'FAIL' ELSE 'PASS' END AS status,
+                   CASE WHEN count(lang) = 0 THEN 'EmptySeriesError' END AS error_kind,
+                   count(*)::BIGINT AS rows_scanned,
+                   CASE WHEN count(lang) = 0 OR count(DISTINCT lang) < 5
+                          OR count(DISTINCT lang) > 40
+                        THEN 1 ELSE 0 END::BIGINT AS violation_count,
+                   CASE WHEN count(lang) = 0 THEN ''
+                        WHEN count(DISTINCT lang) < 5
+                        THEN 'distinct=' || count(DISTINCT lang) || '<5'
+                        WHEN count(DISTINCT lang) > 40
+                        THEN 'distinct=' || count(DISTINCT lang) || '>40'
+                        ELSE '' END AS samples
+            FROM documents GROUP BY source
+        """,
         "verdict_summary": f"""
             WITH verdicts AS ({_VERDICT_UNION_SQL}),
             ranked AS (

@@ -86,6 +86,7 @@ HEADLINE = [
     "corpus_overlap",
     "weighted_sample",
     "verdict_summary",
+    "distinct_bound",
 ]
 
 

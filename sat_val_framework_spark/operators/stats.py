@@ -460,6 +460,68 @@ def outlier_check(
     )
 
 
+def distinct_bound_check(
+    df: DataFrame,
+    column: str,
+    part_col: str = "part_id",
+    lo: int | None = None,
+    hi: int | None = None,
+    approx: bool = True,
+    rsd: float = 0.01,
+) -> DataFrame:
+    """Cardinality-health CONSTRAINT: FAIL a partition whose distinct count
+    of ``column`` falls outside [lo, hi]. The unique kind catches a KEY
+    repeating; this catches a column's VALUE SPACE collapsing (an upstream
+    join default-filling ids, a code list degenerating to one value) or
+    exploding (a fanout minting ids) — per partition, so the verdict is a
+    pure function of the partition's rows (resume-deterministic like the
+    outlier kind's per-partition fences).
+
+    approx=True (default) counts via approx_count_distinct — Spark's
+    HLL++ sketch, one pass, mergeable, O(1/rsd²) memory per partition —
+    the only shape that holds at 10^12 rows; the constraint is a threshold
+    test, so sketch error matters only within rsd of the bound (declare
+    bounds with that margin). approx=False is the exact count_distinct
+    (Catalyst expands it to a two-level aggregate) for oracle-grade runs.
+    NULLs don't count as a value (count_distinct semantics); a partition
+    with zero non-NULL observations gets the drift family's typed
+    EmptySeriesError."""
+    if lo is None and hi is None:
+        raise ValueError("distinct_bound_check needs at least one of lo=/hi=")
+    dcount = (
+        F.approx_count_distinct(column, rsd) if approx else F.count_distinct(F.col(column))
+    )
+    wide = df.groupBy(F.col(part_col).alias("part_id")).agg(
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.count(column).alias("n_obs"),
+        dcount.alias("dv"),
+    )
+    breach = F.lit(False)
+    msgs = []
+    if lo is not None:
+        breach = breach | (F.col("dv") < lo)
+        msgs.append(F.when(F.col("dv") < lo, F.format_string(f"distinct=%s<{lo}", F.col("dv"))))
+    if hi is not None:
+        breach = breach | (F.col("dv") > hi)
+        msgs.append(F.when(F.col("dv") > hi, F.format_string(f"distinct=%s>{hi}", F.col("dv"))))
+    empty = F.col("n_obs") == 0
+    return wide.select(
+        F.lit(f"distinct:{column}").alias("constraint_id"),
+        F.col("part_id"),
+        F.when(empty, F.lit(ERROR)).when(breach, F.lit(FAIL)).otherwise(F.lit(PASS)).alias(
+            "status"
+        ),
+        F.when(empty, F.lit(ERR_EMPTY_SERIES)).alias("error_kind"),
+        F.col("rows_scanned"),
+        F.when(empty | breach, F.lit(1)).otherwise(F.lit(0)).cast("long").alias(
+            "violation_count"
+        ),
+        F.when(
+            ~empty, F.filter(F.array(*msgs), lambda m: m.isNotNull())
+        ).otherwise(F.array().cast("array<string>")).alias("sample_violations"),
+    )
+
+
 def distribution_entropy(df: DataFrame, col: str, group_col: str) -> DataFrame:
     """Shannon entropy (nats) of a categorical column per group — a scalar
     drift/degeneracy signal (entropy -> 0 = column collapsing). Two chained

@@ -578,6 +578,31 @@ def run_suite(
                 accuracy=int(c.params.get("accuracy", 10_000)),
             )
             emit(out, c.params_json, t0)
+        elif c.kind == "distinct":
+            from sat_val_framework_spark.operators.stats import distinct_bound_check
+
+            # derived series ride the quantile/profile plumbing; any other
+            # schema column (string ids included) is counted as-is — no
+            # with_n_spans detour for columns the check doesn't derive
+            frame = (
+                _numeric_frame(docs, c.column, part_col)
+                if c.column in ("n_spans", "text_len")
+                else docs
+            )
+            scoped, todo = pending_filter(c.constraint_id, frame)
+            if not todo:
+                skipped.append(c.constraint_id)
+                return
+            out = distinct_bound_check(
+                scoped,
+                c.column,
+                part_col,
+                lo=c.params.get("lo"),
+                hi=c.params.get("hi"),
+                approx=bool(c.params.get("approx", True)),
+                rsd=float(c.params.get("rsd", 0.01)),
+            )
+            emit(out, c.params_json, t0)
         elif c.kind == "profile":
             from sat_val_framework_spark.operators.stats import profile_check
 

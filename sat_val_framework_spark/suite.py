@@ -34,6 +34,8 @@ KINDS = frozenset(
         "quantile",       # robust-location bound: q-quantile within [lo, hi]
         "outlier",        # tail-heaviness bound: Tukey-fence outlier rate
                           # (q25±k·IQR, per-partition fences) <= max
+        "distinct",       # cardinality-health bound: per-partition distinct
+                          # count within [lo, hi] (id collapse/explosion)
         "drift_categorical",  # tv/js vs a configured categorical baseline
                               # (unordered columns: kinds, sources, langs)
         "repetition",     # per-doc Gopher repetition signals thresholded
@@ -214,6 +216,36 @@ class CheckSuite:
                                 f"numeric, got {ft.simpleString()}"
                             )
                         )
+            if c.kind == "distinct":
+                lo, hi = c.params.get("lo"), c.params.get("hi")
+                if lo is None and hi is None:
+                    errors.append(
+                        SuiteConfigError(f"{c.constraint_id}: at least one of params.lo/hi required")
+                    )
+                for name, b in (("lo", lo), ("hi", hi)):
+                    # bool is an int subclass but a bound of True is a
+                    # config mistake; floats allowed (approx sketch counts)
+                    if b is not None and (isinstance(b, bool) or not isinstance(b, (int, float))):
+                        errors.append(
+                            SuiteConfigError(f"{c.constraint_id}: params.{name} must be numeric")
+                        )
+                if not c.column:
+                    errors.append(SuiteConfigError("distinct: column required"))
+                elif "." in c.column:
+                    # dotted columns break constraint-id parity (operator
+                    # embeds the full path, Check.constraint_id the leaf) —
+                    # the resume-forever class, same rule as quantile/outlier
+                    errors.append(
+                        SuiteConfigError(
+                            f"{c.constraint_id}: distinct column must be a dot-free "
+                            f"top-level column, got '{c.column}'"
+                        )
+                    )
+                elif c.column not in derived and _field_type(schema, c.column) is None:
+                    # ANY type counts distinct values — no numeric requirement
+                    errors.append(
+                        SuiteConfigError(f"{c.constraint_id}: column '{c.column}' not in schema")
+                    )
             if c.kind == "quantile":
                 qv = c.params.get("q", 0.5)
                 if not isinstance(qv, (int, float)) or not 0 < qv < 1:

@@ -354,6 +354,67 @@ def test_outlier_kind_tukey_rate_per_partition(spark, tmp_path):
     assert res2.verdicts.count() == 0  # ERROR is EmptySeriesError: data-inherent, done
 
 
+def test_distinct_kind_cardinality_bounds_per_partition(spark, tmp_path):
+    """'distinct' kind: FAIL a partition whose distinct count of the column
+    is outside [lo, hi] — id collapse AND explosion both flag; approx
+    (HLL++) and exact paths agree at these cardinalities; all-NULL
+    partition gets the typed EmptySeriesError; resume is a noop; JSON
+    round-trip preserves the check."""
+    import sat_val_framework_spark.fixtures as fx
+
+    rows = (
+        # part 0: healthy — 10 docs, 10 distinct langs ∈ [5, 50]
+        [(f"a{i}", 0, f"lang{i}") for i in range(10)]
+        # part 1: collapsed — 12 docs all sharing ONE lang (< lo=5)
+        + [(f"b{i}", 1, "en") for i in range(12)]
+        # part 2: exploded — 60 docs, 60 distinct (> hi=50)
+        + [(f"c{i}", 2, f"x{i}") for i in range(60)]
+        # part 3: all NULL -> n_obs 0 -> typed ERROR
+        + [(f"d{i}", 3, None) for i in range(3)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id string, part_id int, lang string")
+    suite = CheckSuite([Check("distinct", "lang", {"lo": 5, "hi": 50})])
+    suite2 = CheckSuite.from_json(suite.to_json())
+    assert suite2.checks == suite.checks
+
+    path = str(tmp_path / "ck")
+    res = run_suite(spark, docs, suite2, checkpoint_path=path, run_id="dc1")
+    st = {r["part_id"]: r for r in res.verdicts.collect()}
+    cid = "distinct:lang"
+    assert all(r["constraint_id"] == cid for r in st.values()) and len(st) == 4
+    assert st[0]["status"] == "PASS" and st[0]["violation_count"] == 0
+    assert st[1]["status"] == "FAIL" and "distinct=1<5" in st[1]["sample_violations"][0]
+    assert st[2]["status"] == "FAIL" and "distinct=60>50" in st[2]["sample_violations"][0]
+    assert st[3]["status"] == "ERROR" and st[3]["error_kind"] == "EmptySeriesError"
+    assert st[3]["rows_scanned"] == 3  # rows seen, zero observations
+
+    # exact path agrees on the same data
+    res_ex = run_suite(
+        spark, docs,
+        CheckSuite([Check("distinct", "lang", {"lo": 5, "hi": 50, "approx": False})]),
+    )
+    ex = {r["part_id"]: r["status"] for r in res_ex.verdicts.collect()}
+    assert ex == {p: st[p]["status"] for p in ex}
+
+    res2 = run_suite(spark, docs, suite2, checkpoint_path=path, run_id="dc1")
+    assert res2.verdicts.count() == 0  # EmptySeriesError is data-inherent: done
+
+
+def test_distinct_kind_config_validation(spark, docs):
+    errs = lambda ck: [str(e) for e in CheckSuite([ck]).validate(docs)]  # noqa: E731
+    assert any("lo/hi" in e for e in errs(Check("distinct", "doc_id", {})))
+    assert any("must be numeric" in e
+               for e in errs(Check("distinct", "doc_id", {"lo": "5"})))
+    assert any("must be numeric" in e
+               for e in errs(Check("distinct", "doc_id", {"hi": True})))
+    assert any("not in schema" in e
+               for e in errs(Check("distinct", "nope", {"lo": 1})))
+    assert any("dot-free" in e
+               for e in errs(Check("distinct", "spans.kind", {"lo": 1})))
+    assert not errs(Check("distinct", "doc_id", {"lo": 1}))        # string col OK
+    assert not errs(Check("distinct", "text_len", {"hi": 100}))    # derived OK
+
+
 def test_outlier_kind_config_validation(spark, docs):
     errs = lambda ck: [str(e) for e in CheckSuite([ck]).validate(docs)]  # noqa: E731
     assert any("max_outlier_rate" in e for e in errs(Check("outlier", "n_spans", {})))
