@@ -4,6 +4,7 @@ from sat_val_framework_spark.streaming.contamination_stream import (
     streaming_ngram_decontam,
 )
 from sat_val_framework_spark.streaming.dedup_stream import streaming_dedup
+from sat_val_framework_spark.streaming.distinct_stream import streaming_distinct
 from sat_val_framework_spark.streaming.drift_stream import streaming_drift
 from sat_val_framework_spark.streaming.neardup_stream import streaming_neardup
 from sat_val_framework_spark.streaming.outlier_stream import streaming_outlier
@@ -23,4 +24,5 @@ __all__ = [
     "streaming_neardup",
     "streaming_categorical_drift",
     "streaming_outlier",
+    "streaming_distinct",
 ]

@@ -345,6 +345,50 @@ def test_streaming_ngram_decontam_matches_batch(spark, tmp_path):
     assert {(r["doc_id"], r["n_hits"]) for r in rows} == batch
 
 
+def test_streaming_distinct_monitor(spark, tmp_path):
+    """Per-epoch distinct-count verdicts == the batch distinct_bound_check
+    on the same rows (one code path); the collapsed partition FAILs in its
+    epoch, the healthy one PASSes, the span-less one gets the typed ERROR."""
+    from sat_val_framework_spark.operators.stats import distinct_bound_check
+    from sat_val_framework_spark.profile import with_n_spans
+    from sat_val_framework_spark.streaming import streaming_distinct
+
+    span = lambda i: ("text", "w", None, i)  # noqa: E731
+    rows = (
+        # part 0: span counts 2/3 only -> 2 distinct < lo=3 -> FAIL
+        [(f"a{i}", 0, [span(j) for j in range(2 + i % 2)]) for i in range(10)]
+        # part 1: counts 2/3/30 -> 3 distinct -> PASS
+        + [(f"b{i}", 1, [span(j) for j in range(2 + i % 2)]) for i in range(18)]
+        + [(f"B{i}", 1, [span(j) for j in range(30)]) for i in range(2)]
+        # part 2: no spans -> zero observations -> typed ERROR
+        + [(f"c{i}", 2, None) for i in range(2)]
+    )
+    docs = spark.createDataFrame(rows, fx.DOCUMENTS_SCHEMA)
+    in_dir = str(tmp_path / "docs_in")
+    docs.coalesce(1).write.parquet(in_dir)
+
+    sink = str(tmp_path / "distinct_sink")
+    q = streaming_distinct(spark, in_dir, sink, column="n_spans", lo=3, approx=False)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["part_id"]: r for r in spark.read.parquet(sink).collect()}
+    assert got[0]["status"] == "FAIL" and "distinct=2<3" in got[0]["sample_violations"][0]
+    assert got[1]["status"] == "PASS"
+    assert got[2]["status"] == "ERROR" and got[2]["error_kind"] == "EmptySeriesError"
+
+    batch = {
+        r["part_id"]: r
+        for r in distinct_bound_check(
+            with_n_spans(docs), "n_spans", lo=3, approx=False
+        ).collect()
+    }
+    for p, r in got.items():
+        for f in ("constraint_id", "status", "rows_scanned", "violation_count",
+                  "sample_violations", "error_kind"):
+            assert r[f] == batch[p][f], (p, f)
+
+
 def test_streaming_outlier_monitor(spark, tmp_path):
     """Per-epoch Tukey outlier-rate verdicts == the batch outlier_check on
     the same rows (one code path); the injected-tail partition FAILs in its
