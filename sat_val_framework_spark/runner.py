@@ -541,6 +541,26 @@ def run_suite(
                 F.col(part_col).alias("part_id"), F.col("doc_id").alias("violation_key")
             )
             emit_doc_violations(scoped, viol, c, t0)
+        elif c.kind == "span_grammar":
+            from sat_val_framework_spark.operators.span_grammar import span_grammar_check
+
+            scoped, todo = pending_filter(c.constraint_id, docs)
+            if not todo:
+                skipped.append(c.constraint_id)
+                return
+            out = span_grammar_check(
+                scoped,
+                c.params["allowed_kinds"],
+                part_col,
+                id_col=c.params.get("id_col", "doc_id"),
+                require_text=bool(c.params.get("require_text", False)),
+                require_media_ref=bool(c.params.get("require_media_ref", True)),
+                check_order=bool(c.params.get("check_order", True)),
+                require_spans=bool(c.params.get("require_spans", False)),
+                spans_col=c.column,
+                constraint_id=c.constraint_id,
+            )
+            emit(out, c.params_json, t0)
         elif c.kind == "quantile":
             from sat_val_framework_spark.operators.stats import quantile_check
 

@@ -43,7 +43,19 @@ KINDS = frozenset(
         "contamination",  # cross-corpus LSH near-dup vs a reference corpus
         "ngram_decontam",  # exact word-n-gram overlap vs a reference corpus
                            # (the 13-gram benchmark decontamination rule)
+        "span_grammar",   # internal grammar of the interleaved span array
+                          # (kind vocabulary, media refs, text presence,
+                          # strictly increasing offsets) — no reference table
     }
+)
+
+# leaf fields of the span struct each span_grammar rule reads; used to
+# validate the declared column's element type driver-side
+_SPAN_GRAMMAR_BOOL_PARAMS = (
+    "require_text",
+    "require_media_ref",
+    "check_order",
+    "require_spans",
 )
 
 PROFILE_THRESHOLD_PARAMS = ("max_top_share", "min_entropy", "min_distinct_ratio")
@@ -367,6 +379,67 @@ class CheckSuite:
                         errors.append(
                             SuiteConfigError(f"{c.constraint_id}: params.{p} must be in [0,1]")
                         )
+            if c.kind == "span_grammar":
+                ak = c.params.get("allowed_kinds")
+                if (
+                    not isinstance(ak, list)
+                    or not ak
+                    or not all(isinstance(k, str) for k in ak)
+                ):
+                    errors.append(
+                        SuiteConfigError(
+                            f"{c.constraint_id}: params.allowed_kinds must be a "
+                            "non-empty list of strings"
+                        )
+                    )
+                for p in _SPAN_GRAMMAR_BOOL_PARAMS:
+                    val = c.params.get(p)
+                    if val is not None and not isinstance(val, bool):
+                        errors.append(
+                            SuiteConfigError(f"{c.constraint_id}: params.{p} must be a bool")
+                        )
+                if not c.column:
+                    errors.append(SuiteConfigError("span_grammar: column required"))
+                elif "." in c.column:
+                    # dotted columns break constraint-id parity (operator
+                    # embeds the column name, Check.constraint_id the leaf)
+                    # and the operator addresses a top-level array column
+                    errors.append(
+                        SuiteConfigError(
+                            f"{c.constraint_id}: span_grammar column must be a dot-free "
+                            f"top-level column, got '{c.column}'"
+                        )
+                    )
+                else:
+                    ft = _field_type(schema, c.column)
+                    elem = ft.elementType if isinstance(ft, T.ArrayType) else None
+                    if not isinstance(elem, T.StructType):
+                        errors.append(
+                            SuiteConfigError(
+                                f"{c.constraint_id}: column '{c.column}' must be an "
+                                "array of structs"
+                            )
+                        )
+                    else:
+                        # each ENABLED rule's leaf must exist — a missing
+                        # leaf would otherwise raise at plan time and
+                        # become a retryable ERROR verdict that re-runs
+                        # forever on resume (the quantile/drift rationale)
+                        needed = ["kind"]
+                        if c.params.get("require_text", False):
+                            needed.append("text")
+                        if c.params.get("require_media_ref", True):
+                            needed.append("media_ref")
+                        if c.params.get("check_order", True):
+                            needed.append("offset")
+                        missing = [f for f in needed if f not in elem.fieldNames()]
+                        if missing:
+                            errors.append(
+                                SuiteConfigError(
+                                    f"{c.constraint_id}: span struct missing "
+                                    f"field(s) {missing} required by the enabled rules"
+                                )
+                            )
             if c.kind in ("contamination", "ngram_decontam"):
                 if not c.params.get("ref_path") or not isinstance(c.params.get("ref_path"), str):
                     errors.append(

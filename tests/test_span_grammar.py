@@ -116,7 +116,7 @@ def test_check_verdicts_and_samples(defect_docs):
     p0 = rows[0]
     assert p0["status"] == "FAIL"
     assert p0["rows_scanned"] == 11
-    # 9 violating docs (d-clean and... count: all except d-clean)
+    # every part-0 doc except d-clean violates >=1 rule
     assert p0["violation_count"] == 10
     assert p0["constraint_id"] == "span_grammar:spans"
     # samples: doc_id:rule1+rule2, sorted, RULES order within a doc
@@ -176,3 +176,88 @@ def test_nested_schema_pruning_skips_text(spark, docs, tmp_path):
     plan2 = out2._jdf.queryExecution().executedPlan().toString()
     scan2 = [ln for ln in plan2.splitlines() if "ReadSchema" in ln]
     assert "text" in scan2[0].split("ReadSchema")[1]
+
+
+# ---- declarable suite kind -------------------------------------------------
+
+
+def test_span_grammar_suite_kind_runs_and_resumes(spark, defect_docs, tmp_path):
+    """'span_grammar' as a declared check: standard verdict rows under the
+    Check's constraint_id, JSON round-trip lossless, resume a noop."""
+    from sat_val_framework_spark.runner import run_suite
+    from sat_val_framework_spark.suite import Check, CheckSuite
+
+    suite = CheckSuite(
+        [
+            Check(
+                "span_grammar",
+                "spans",
+                {"allowed_kinds": KINDS, "require_text": True, "require_spans": True},
+            )
+        ]
+    )
+    assert suite.validate(defect_docs) == []
+    suite2 = CheckSuite.from_json(suite.to_json())
+    assert suite2.checks == suite.checks
+
+    path = str(tmp_path / "ck")
+    res = run_suite(spark, defect_docs, suite2, checkpoint_path=path, run_id="sg1")
+    st = {r["part_id"]: r for r in res.verdicts.collect()}
+    assert all(r["constraint_id"] == "span_grammar:spans" for r in st.values())
+    assert st[0]["status"] == "FAIL" and st[0]["violation_count"] == 10
+    assert st[1]["status"] == "PASS"
+    assert "d-multi:bad_kind+bad_order" in st[0]["sample_violations"]
+
+    res2 = run_suite(spark, defect_docs, suite2, checkpoint_path=path, run_id="sg1")
+    assert res2.verdicts.count() == 0
+    assert res2.skipped == ["span_grammar:spans"]
+
+
+def test_span_grammar_config_validation(docs):
+    from sat_val_framework_spark.suite import Check, CheckSuite
+
+    def errs(check):
+        return [str(e) for e in CheckSuite([check]).validate(docs)]
+
+    ok = {"allowed_kinds": KINDS}
+    assert not errs(Check("span_grammar", "spans", ok))
+    assert any("allowed_kinds" in e for e in errs(Check("span_grammar", "spans", {})))
+    assert any(
+        "allowed_kinds" in e
+        for e in errs(Check("span_grammar", "spans", {"allowed_kinds": []}))
+    )
+    assert any(
+        "allowed_kinds" in e
+        for e in errs(Check("span_grammar", "spans", {"allowed_kinds": "text"}))
+    )
+    assert any(
+        "require_text must be a bool" in e
+        for e in errs(
+            Check("span_grammar", "spans", {**ok, "require_text": "yes"})
+        )
+    )
+    assert any("column required" in e for e in errs(Check("span_grammar", None, ok)))
+    assert any(
+        "dot-free" in e for e in errs(Check("span_grammar", "spans.kind", ok))
+    )
+    assert any(
+        "array of structs" in e for e in errs(Check("span_grammar", "doc_id", ok))
+    )
+
+
+def test_span_grammar_validation_catches_missing_leaf(spark):
+    """A spans struct lacking a leaf an ENABLED rule reads is a driver-side
+    config error (mid-job it would be a retryable ERROR re-run forever);
+    disabling that rule makes the same column valid."""
+    from sat_val_framework_spark.suite import Check, CheckSuite
+
+    df = spark.createDataFrame(
+        [("d1", 0, [("text", 0)])],
+        "doc_id string, part_id int, spans array<struct<kind:string,offset:int>>",
+    )
+    ok = {"allowed_kinds": KINDS}
+    errs = CheckSuite([Check("span_grammar", "spans", ok)]).validate(df)
+    assert any("media_ref" in str(e) for e in errs)
+    assert not CheckSuite(
+        [Check("span_grammar", "spans", {**ok, "require_media_ref": False})]
+    ).validate(df)
