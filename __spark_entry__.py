@@ -648,6 +648,80 @@ def q_verdict_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarize_verdicts(q_verdict_union(spark, sf_dir), group_col="grp")
 
 
+def q_span_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-grammar verdicts over synthesized interleaved documents
+    (operators/span_grammar.py): build the north-rule spans array
+    deterministically from the flat documents table (pure integer
+    arithmetic on doc_id — the oracle recomputes the same per-doc flags
+    WITHOUT building arrays, so the two paths are independent), then check
+    kind vocabulary, text presence, media refs and offset order in one
+    scan + one hash-agg. Injected defects: empty span arrays (doc_id%101),
+    unknown kind 'video' (%71), empty text (%61), NULL media_ref (%53),
+    constant offsets (%97)."""
+    from sat_val_framework_spark.operators.span_grammar import span_grammar_check
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    n_spans = (F.lit(1) + F.pmod(i, F.lit(5))).cast("int")
+    empty_doc = F.pmod(i, F.lit(101)) == 11
+    bad_kind_doc = F.pmod(i, F.lit(71)) == 3
+    # only injectable when span 0 is a text span under the base kind rule
+    # and not already overridden to 'video'
+    bad_text_doc = (
+        (F.pmod(i, F.lit(61)) == 9) & (F.pmod(i, F.lit(3)) != 0) & ~bad_kind_doc
+    )
+    # the last span is forced to a ref-less image; needs >=2 spans so it
+    # never collides with the span-0 injections
+    bad_media_doc = (F.pmod(i, F.lit(53)) == 7) & (n_spans >= 2)
+    bad_order_doc = (F.pmod(i, F.lit(97)) == 5) & (n_spans >= 2)
+
+    def span(j):
+        is_last = j == n_spans - 1
+        kind = (
+            F.when(bad_kind_doc & (j == 0), F.lit("video"))
+            .when(bad_media_doc & is_last, F.lit("image"))
+            .when(F.pmod(i + j, F.lit(3)) != 0, F.lit("text"))
+            .otherwise(F.lit("image"))
+        )
+        is_text = kind == F.lit("text")
+        text = F.when(
+            is_text,
+            F.when(bad_text_doc & (j == 0), F.lit("")).otherwise(
+                F.format_string("t-%d-%d", i, j.cast("long"))
+            ),
+        ).otherwise(F.lit(None).cast("string"))
+        ref = F.when(
+            ~is_text,
+            F.when(bad_media_doc & is_last, F.lit(None).cast("string")).otherwise(
+                F.format_string("m-%d", i * 7 + j)
+            ),
+        ).otherwise(F.lit(None).cast("string"))
+        off = F.when(bad_order_doc, F.lit(0)).otherwise(j).cast("int")
+        return F.struct(
+            kind.alias("kind"), text.alias("text"), ref.alias("media_ref"), off.alias("offset")
+        )
+
+    spans = F.when(
+        empty_doc,
+        F.array().cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>"),
+    ).otherwise(F.transform(F.sequence(F.lit(0), n_spans - 1), span))
+    synth = d.select("source", "doc_id", spans.alias("spans"))
+    out = span_grammar_check(
+        synth,
+        ["text", "image", "audio"],
+        part_col="source",
+        require_text=True,
+        require_spans=True,
+    )
+    return out.select(
+        "part_id",
+        "status",
+        "rows_scanned",
+        "violation_count",
+        F.array_join("sample_violations", ",").alias("samples"),
+    )
+
+
 def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-free corpus-overlap screening (sketch.py:hll_overlap_estimate):
     |documents ∩ embeddings| by id via inclusion-exclusion over two HLL
@@ -1233,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "asof_join": q_asof_join,
         # --- new this round (never driver-checked) ---
+        "span_grammar": q_span_grammar,
         "semantic_dedup": q_semantic_dedup,
         "bpe_count": q_bpe_count,
         "uniqueness_hotkey": q_uniqueness_hotkey,
@@ -1524,6 +1599,45 @@ _VERDICT_UNION_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # per-doc grammar flags recomputed from the generation rule by pure
+        # modular arithmetic — never via span arrays, so a Spark bug in the
+        # array path cannot cancel out; sampler mirrored as sorted-slice-10
+        "span_grammar": """
+            WITH d AS (
+              SELECT source, doc_id,
+                     1 + (doc_id % 5) AS n_spans,
+                     (doc_id % 101 = 11) AS empty_doc
+              FROM documents
+            ), f AS (
+              SELECT source, doc_id,
+                empty_doc AS no_spans,
+                (NOT empty_doc AND doc_id % 71 = 3) AS bad_kind,
+                (NOT empty_doc AND doc_id % 61 = 9 AND doc_id % 3 <> 0
+                     AND doc_id % 71 <> 3) AS bad_text,
+                (NOT empty_doc AND doc_id % 53 = 7 AND n_spans >= 2) AS bad_media,
+                (NOT empty_doc AND doc_id % 97 = 5 AND n_spans >= 2) AS bad_order
+              FROM d
+            ), v AS (
+              SELECT source,
+                (no_spans OR bad_kind OR bad_text OR bad_media OR bad_order) AS violated,
+                doc_id::VARCHAR || ':' || concat_ws('+',
+                   CASE WHEN no_spans THEN 'no_spans' END,
+                   CASE WHEN bad_kind THEN 'bad_kind' END,
+                   CASE WHEN bad_text THEN 'bad_text' END,
+                   CASE WHEN bad_media THEN 'bad_media' END,
+                   CASE WHEN bad_order THEN 'bad_order' END) AS ann
+              FROM f
+            )
+            SELECT source AS part_id,
+                   CASE WHEN count(*) FILTER (violated) > 0
+                        THEN 'FAIL' ELSE 'PASS' END AS status,
+                   count(*) AS rows_scanned,
+                   (count(*) FILTER (violated))::BIGINT AS violation_count,
+                   coalesce(array_to_string(
+                       list_slice(list_sort(list(ann) FILTER (violated)), 1, 10),
+                       ','), '') AS samples
+            FROM v GROUP BY source
+        """,
         "stats_per_source": """
             SELECT source AS grp,
                    count(*) AS n_docs,
