@@ -11,6 +11,7 @@ from sat_val_framework_spark.streaming.outlier_stream import streaming_outlier
 from sat_val_framework_spark.streaming.profile_stream import streaming_profile
 from sat_val_framework_spark.streaming.qc_stream import streaming_schema_assert, streaming_stats
 from sat_val_framework_spark.streaming.session_stream import streaming_sessionize
+from sat_val_framework_spark.streaming.span_grammar_stream import streaming_span_grammar
 
 __all__ = [
     "streaming_schema_assert",
@@ -25,4 +26,5 @@ __all__ = [
     "streaming_categorical_drift",
     "streaming_outlier",
     "streaming_distinct",
+    "streaming_span_grammar",
 ]

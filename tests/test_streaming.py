@@ -429,3 +429,64 @@ def test_streaming_outlier_monitor(spark, tmp_path):
         for f in ("constraint_id", "status", "rows_scanned", "violation_count",
                   "sample_violations", "error_kind"):
             assert r[f] == batch[p][f], (p, f)
+
+
+def test_streaming_span_grammar_monitor(spark, tmp_path):
+    """Per-epoch span-grammar verdicts == the batch span_grammar_check on
+    the same rows (one code path): the clean epoch PASSes, the epoch whose
+    ingest regressed (unknown kind, ref-less media span, shuffled offsets)
+    FAILs with per-doc rule annotations."""
+    from sat_val_framework_spark.operators.span_grammar import span_grammar_check
+    from sat_val_framework_spark.streaming import streaming_span_grammar
+
+    clean = [
+        (f"a{i}", 0, [("text", "w", None, 0), ("image", None, "m-1", 1)])
+        for i in range(8)
+    ]
+    broken = (
+        [(f"b{i}", 0, [("video", None, "m-2", 0)]) for i in range(2)]
+        + [(f"c{i}", 1, [("image", None, None, 0)]) for i in range(2)]
+        + [(f"d{i}", 1, [("text", "w", None, 3), ("text", "w", None, 1)]) for i in range(2)]
+        + [(f"e{i}", 1, [("text", "w", None, 0)]) for i in range(4)]
+    )
+    in_dir = tmp_path / "sg_in"
+    in_dir.mkdir()
+    df_clean = spark.createDataFrame(clean, fx.DOCUMENTS_SCHEMA)
+    df_broken = spark.createDataFrame(broken, fx.DOCUMENTS_SCHEMA)
+    df_clean.coalesce(1).write.parquet(str(in_dir / "f0"))
+    df_broken.coalesce(1).write.parquet(str(in_dir / "f1"))
+
+    sink = str(tmp_path / "sg_sink")
+    q = streaming_span_grammar(
+        spark, str(in_dir / "*"), sink, ["text", "image", "audio"], max_files=1
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.read.parquet(sink).collect()
+    # one epoch per file -> (epoch, part) verdicts; epochs arrive in either
+    # order, so key by the verdict content instead of epoch_id
+    by_docs = {}
+    for r in out:
+        by_docs[(r["part_id"], r["rows_scanned"])] = r
+    clean_v = by_docs[(0, 8)]
+    assert clean_v["status"] == "PASS" and clean_v["violation_count"] == 0
+    bad0 = by_docs[(0, 2)]
+    assert bad0["status"] == "FAIL" and bad0["violation_count"] == 2
+    assert "b0:bad_kind" in bad0["sample_violations"]
+    bad1 = by_docs[(1, 8)]
+    assert bad1["status"] == "FAIL" and bad1["violation_count"] == 4
+    assert "c0:bad_media" in bad1["sample_violations"]
+    assert "d0:bad_order" in bad1["sample_violations"]
+
+    # field-equal to the batch operator on each epoch's rows
+    for df, keys in ((df_clean, [(0, 8)]), (df_broken, [(0, 2), (1, 8)])):
+        batch = {
+            r["part_id"]: r
+            for r in span_grammar_check(df, ["text", "image", "audio"]).collect()
+        }
+        for p, n in keys:
+            got = by_docs[(p, n)]
+            for f in ("constraint_id", "status", "rows_scanned",
+                      "violation_count", "sample_violations"):
+                assert got[f] == batch[p][f], (p, f)
