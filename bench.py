@@ -87,6 +87,7 @@ HEADLINE = [
     "weighted_sample",
     "verdict_summary",
     "distinct_bound",
+    "span_grammar",
 ]
 
 

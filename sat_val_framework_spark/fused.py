@@ -156,6 +156,7 @@ FUSED_CONSTRAINT_IDS = [
     "fd:doc_id->part_id",
     "quantile:n_spans",
     "drift_categorical:kind",
+    "span_grammar:spans",
 ]
 
 # fused profile counters cover n_spans values 0..PROFILE_DOMAIN-1 exactly
@@ -182,6 +183,7 @@ def run_suite_fused(
     q_hi: float = 8,
     cat_tv_threshold: float = 0.05,
     cat_js_threshold: float | None = None,
+    span_allowed_kinds: tuple = ("text", "image", "audio"),
     checkpoint_path: str | None = None,
     run_id: str | None = None,
 ) -> DataFrame:
@@ -249,6 +251,7 @@ def run_suite_fused(
         stats_lo, stats_hi, ks_threshold, psi_threshold,
         profile_max_top_share, profile_min_entropy,
         baseline_cat, q, q_lo, q_hi, cat_tv_threshold, cat_js_threshold,
+        span_allowed_kinds,
     )
     if checkpoint_path:
         if done_pairs:
@@ -279,6 +282,7 @@ def _run_fused_passes(
     q_hi: float = 8,
     cat_tv_threshold: float = 0.05,
     cat_js_threshold: float | None = None,
+    span_allowed_kinds: tuple = ("text", "image", "audio"),
 ) -> DataFrame:
     """The three passes. ``docs`` may be partition-filtered for resume;
     ``docs_all`` is the full table (uniqueness must see every row)."""
@@ -315,7 +319,37 @@ def _run_fused_passes(
     # text bytes entirely on this pass (measured 2.8x faster scan)
     kinds = F.col("spans").getField("kind")
     n_spans = F.when(kinds.isNull(), F.lit(None).cast("int")).otherwise(F.size(kinds))
-    d = docs.select(F.col(part_col).alias("part_id"), F.col("doc_id"), n_spans.alias("n_spans"))
+    # span-grammar flags ride the SAME doc-level select (the pre-projection
+    # keeps nested pruning alive past the nondeterministic split grouping —
+    # CLAUDE.md): kind vocabulary + media refs + offset order, text rule OFF
+    # by design so Pass A stays text-free (Pass B reads the text bytes).
+    # Identical expressions to the modular operator => byte-identical
+    # verdicts (test_fused).
+    from sat_val_framework_spark.operators.span_grammar import RULES, _leaf_flags
+
+    sg_flags = _leaf_flags(
+        kinds,
+        None,
+        F.col("spans").getField("media_ref"),
+        F.col("spans").getField("offset"),
+        list(span_allowed_kinds),
+        require_spans=False,
+    )
+    sg_bad = None
+    for f_ in sg_flags.values():
+        sg_bad = f_ if sg_bad is None else (sg_bad | f_)
+    sg_ann = F.format_string(
+        "%s:%s",
+        F.col("doc_id").cast("string"),
+        F.concat_ws("+", *[F.when(sg_flags[r], F.lit(r)) for r in RULES]),
+    )
+    d = docs.select(
+        F.col(part_col).alias("part_id"),
+        F.col("doc_id"),
+        n_spans.alias("n_spans"),
+        sg_bad.alias("sg_bad"),
+        sg_ann.alias("sg_ann"),
+    )
     ns_null = F.col("n_spans").isNull()
     ns_oob = (F.col("n_spans") < stats_lo) | (F.col("n_spans") > stats_hi)
     bin_ns = _bin(F.col("n_spans"), lo_ns, w_ns, nb_ns)
@@ -325,6 +359,8 @@ def _run_fused_passes(
         sample_col(F.col("doc_id"), ns_null).alias("null_samples"),
         F.sum(ns_oob.cast("long")).alias("ns_oob"),
         sample_col(F.col("doc_id"), ns_oob | ns_null).alias("ns_samples"),
+        F.sum(F.col("sg_bad").cast("long")).alias("sg_viol"),
+        sample_col(F.col("sg_ann"), F.col("sg_bad")).alias("sg_samples"),
     ] + [
         F.sum(F.when(~ns_null & (bin_ns == b), 1).otherwise(0)).alias(f"h_ns_{b}")
         for b in range(nb_ns)
@@ -364,6 +400,8 @@ def _run_fused_passes(
         merged_samples("null_samples").alias("null_samples"),
         F.sum("ns_oob").alias("ns_oob"),
         merged_samples("ns_samples").alias("ns_samples"),
+        F.sum("sg_viol").alias("sg_viol"),
+        merged_samples("sg_samples").alias("sg_samples"),
     ] + [F.sum(f"h_ns_{b}").alias(f"h_ns_{b}") for b in range(nb_ns)] + (
         [] if unit_bins else [F.sum(f"pv_{v}").alias(f"pv_{v}") for v in range(PROFILE_DOMAIN)]
     ) + [F.sum("pv_oob").alias("pv_oob")]
@@ -389,6 +427,14 @@ def _run_fused_passes(
         F.col("rows").alias("rows_scanned"),
         schema_viol.cast("long").alias("violation_count"),
         F.col("null_samples").alias("sample_violations"),
+    )
+    sg_v = wide_a.select(
+        F.lit("span_grammar:spans").alias("constraint_id"),
+        "part_id",
+        F.when(F.col("sg_viol") > 0, F.lit(FAIL)).otherwise(F.lit(PASS)).alias("status"),
+        F.col("rows").alias("rows_scanned"),
+        F.col("sg_viol").cast("long").alias("violation_count"),
+        F.col("sg_samples").alias("sample_violations"),
     )
     stats_viol = F.col("ns_oob") + F.col("null_spans")  # max_null_rate=0.0
     stats_v = wide_a.select(
@@ -712,4 +758,5 @@ def _run_fused_passes(
         .unionByName(profile_v, allowMissingColumns=True)
         .unionByName(quantile_v, allowMissingColumns=True)
         .unionByName(cat_v, allowMissingColumns=True)
+        .unionByName(sg_v, allowMissingColumns=True)
     )

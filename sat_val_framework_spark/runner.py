@@ -64,6 +64,15 @@ DEFAULT_SUITE = CheckSuite(
         # categorical drift of the span-kind mix vs the configured baseline
         # (tv = categorical KS-analogue; unordered columns have no bins)
         Check("drift_categorical", "kind", {"tv_threshold": 0.05}),
+        # the north rule's own per-row invariant as a default constraint:
+        # span-sequence grammar (kind vocabulary, media refs, offset order).
+        # require_text=False keeps the fused Pass A text-free; require_spans
+        # stays False because schema_assert already polices NULL arrays
+        Check(
+            "span_grammar",
+            "spans",
+            {"allowed_kinds": ["text", "image", "audio"], "require_text": False},
+        ),
     ]
 )
 

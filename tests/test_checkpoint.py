@@ -132,7 +132,7 @@ def test_diff_runs_and_summary(spark, docs, catalog, baseline, baseline_cat, tmp
     summary = {r["run_id"]: r for r in ckpt.run_summary(cp).collect()}
     assert summary["ra"]["n_fail"] > summary["rb"]["n_fail"]
     assert 0.0 < summary["ra"]["pass_rate"] < 1.0
-    assert summary["ra"]["n_constraints"] == 12  # DEFAULT_SUITE incl. quantile + cat-drift
+    assert summary["ra"]["n_constraints"] == 13  # DEFAULT_SUITE incl. span_grammar
 
 
 def test_discover_worklist_persists_and_reloads(spark, docs, oracle, tmp_path):
