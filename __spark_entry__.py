@@ -505,6 +505,20 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=3)
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (functions/dedup.py:incremental_neardup_pairs):
+    odd doc_ids arrive as a new batch and dedup against the even half's
+    PERSISTED band-key index — no re-signing of the stored corpus, the
+    batch side stays the small join side. The oracle computes the same
+    cross-parity restriction of the full-corpus LSH join."""
+    d = _t_wide(spark, sf_dir, "documents")
+    old = d.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    new = d.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    store = dedup.banded_signatures(dedup.minhash_signature(old, k=12), 4, 3)
+    nvo, _nvn, _banded = dedup.incremental_neardup_pairs(new, store)
+    return nvo
+
+
 def q_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-guarded LSH (VERDICT r3 #1): buckets over the cap degrade to
     hub-star pairs (O(bucket), connectivity preserved for clustering)
@@ -1308,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         # --- new this round (never driver-checked) ---
         "span_grammar": q_span_grammar,
+        "incremental_dedup": q_incremental_dedup,
         "semantic_dedup": q_semantic_dedup,
         "bpe_count": q_bpe_count,
         "uniqueness_hotkey": q_uniqueness_hotkey,
@@ -1910,6 +1925,13 @@ def oracle_sql() -> dict[str, str]:
                       FROM toks WHERE doc_id % 7 = 0 AND len(t) > 0))
             SELECT doc_id, count(*)::bigint AS n_hits, min(gram) AS first_gram
             FROM dg JOIN rg USING (gram) GROUP BY doc_id
+        """,
+        "incremental_dedup": f"""
+            WITH {_LSH_CTES}
+            SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+            FROM bands n JOIN bands o
+              ON n.band_id = o.band_id AND n.band_key = o.band_key
+            WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
         """,
         "minhash_lsh": f"""
             WITH {_LSH_CTES}

@@ -88,6 +88,7 @@ HEADLINE = [
     "verdict_summary",
     "distinct_bound",
     "span_grammar",
+    "incremental_dedup",
 ]
 
 

@@ -383,6 +383,79 @@ def lsh_candidate_pairs(
     )
 
 
+def incremental_neardup_pairs(
+    new_docs: DataFrame,
+    store: DataFrame,
+    k: int = 12,
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 3,
+    max_bucket_size: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Dedup an ingest batch against a PERSISTED signature index without
+    rescanning the corpus text — the batch counterpart of the streaming
+    near-dup monitor, and the operating mode a daily incremental ingest
+    actually runs at 10^12 docs (re-sigging the whole corpus per batch is
+    the shape that doesn't survive scale; the index is O(corpus x bands)
+    small rows, read-only here).
+
+    ``store``: (doc_id, band_id, band_key) rows — exactly what
+    ``banded_signatures`` emits; the third return value is the batch's own
+    banded rows, which the caller appends to the store after the batch
+    commits (append-only parquet/Iceberg; same k/n/bands/rows_per_band and
+    hash_fn MUST be used for every batch or keys never match).
+
+    Returns ``(new_vs_old, new_vs_new, banded_new)``:
+
+    - ``new_vs_old`` (doc_new, doc_old): batch band keys equi-joined
+      against the store — the small batch side is broadcast/shuffle-hash
+      joined against the big index, never the reverse. With
+      ``max_bucket_size``, oversized STORE buckets (template families
+      accumulated over many batches) are pruned to their hub (minimum
+      doc_id) before the join — each new doc pairs with the family's hub
+      only, O(batch) pairs instead of O(batch x family); cluster-based
+      keeper selection still collapses the family through the hub. Audit
+      the degradation with ``oversized_buckets(store, ["band_id",
+      "band_key"], cap)`` next to the output (no-silent-caps rule).
+    - ``new_vs_new`` (doc_a < doc_b): within-batch candidates via the
+      same capped self-join as ``lsh_candidate_pairs``.
+    - re-ingest of an already-stored doc_id pairs with other docs but
+      never with itself (doc_new != doc_old).
+    """
+    sigs = minhash_signature(new_docs, k, n, text_col, id_col, hash_fn)
+    banded_new = banded_signatures(sigs, bands, rows_per_band)
+    store_idx = store.select("doc_id", "band_id", "band_key")
+    if max_bucket_size is not None:
+        sizes = store_idx.groupBy("band_id", "band_key").agg(
+            F.count(F.lit(1)).alias("__sz"), F.min("doc_id").alias("__hub")
+        )
+        small = store_idx.join(
+            sizes.filter(F.col("__sz") <= max_bucket_size).select("band_id", "band_key"),
+            ["band_id", "band_key"],
+            "left_semi",
+        )
+        hubs = sizes.filter(F.col("__sz") > max_bucket_size).select(
+            F.col("__hub").alias("doc_id"), "band_id", "band_key"
+        )
+        store_idx = small.unionByName(hubs)
+    new_vs_old = (
+        banded_new.alias("n")
+        .join(store_idx.alias("o"), ["band_id", "band_key"])
+        .filter(F.col("n.doc_id") != F.col("o.doc_id"))
+        .select(
+            F.col("n.doc_id").alias("doc_new"), F.col("o.doc_id").alias("doc_old")
+        )
+        .distinct()
+    )
+    new_vs_new = capped_bucket_pairs(
+        banded_new, ["band_id", "band_key"], max_bucket_size
+    )
+    return new_vs_old, new_vs_new, banded_new
+
+
 def lsh_oversized_buckets(
     signatures: DataFrame,
     bands: int = 4,
