@@ -519,6 +519,39 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nvo
 
 
+def q_unique_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot uniqueness for an ingest increment
+    (operators/uniqueness.py:incremental_unique_check): odd doc_ids arrive
+    as the batch and validate against the even half's persisted distinct-
+    key index. Synthetic key collisions: doc_id%14==7 folds onto the even
+    id 7 below it (store hits), doc_id%22==19 folds onto an odd id (within-
+    batch duplicates) — both violation reasons exercised, first-match-wins
+    CASE order mirrored in the oracle."""
+    from sat_val_framework_spark.operators.uniqueness import incremental_unique_check
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    ukey = (
+        F.when(F.pmod(i, F.lit(14)) == 7, i - 7)
+        .when(F.pmod(i, F.lit(22)) == 19, i - 8)
+        .otherwise(i)
+    )
+    keyed = d.select("source", "doc_id", ukey.alias("ukey"))
+    old = keyed.filter(F.pmod(i, F.lit(2)) == 0)
+    new = keyed.filter(F.pmod(i, F.lit(2)) == 1)
+    store = old.select("ukey").distinct()
+    verdicts, _viol, _inc = incremental_unique_check(
+        new, store, key="ukey", part_col="source"
+    )
+    return verdicts.select(
+        "part_id",
+        "status",
+        "rows_scanned",
+        "violation_count",
+        F.array_join("sample_violations", ",").alias("samples"),
+    )
+
+
 def q_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-guarded LSH (VERDICT r3 #1): buckets over the cap degrade to
     hub-star pairs (O(bucket), connectivity preserved for clustering)
@@ -1323,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (never driver-checked) ---
         "span_grammar": q_span_grammar,
         "incremental_dedup": q_incremental_dedup,
+        "unique_incremental": q_unique_incremental,
         "semantic_dedup": q_semantic_dedup,
         "bpe_count": q_bpe_count,
         "uniqueness_hotkey": q_uniqueness_hotkey,
@@ -1925,6 +1959,41 @@ def oracle_sql() -> dict[str, str]:
                       FROM toks WHERE doc_id % 7 = 0 AND len(t) > 0))
             SELECT doc_id, count(*)::bigint AS n_hits, min(gram) AS first_gram
             FROM dg JOIN rg USING (gram) GROUP BY doc_id
+        """,
+        # numerically-smallest-10 then string-sorted mirrors bounded_samples
+        "unique_incremental": """
+            WITH d AS (
+              SELECT source, doc_id,
+                     CASE WHEN doc_id % 14 = 7 THEN doc_id - 7
+                          WHEN doc_id % 22 = 19 THEN doc_id - 8
+                          ELSE doc_id END AS ukey
+              FROM documents
+            ),
+            odd AS (SELECT source, ukey,
+                           count(*) OVER (PARTITION BY ukey) AS batch_n
+                    FROM d WHERE doc_id % 2 = 1),
+            store AS (SELECT DISTINCT ukey FROM d WHERE doc_id % 2 = 0),
+            viol AS (
+              SELECT o.source, o.ukey,
+                     row_number() OVER (PARTITION BY o.source ORDER BY o.ukey) AS rn
+              FROM odd o
+              WHERE o.ukey IN (SELECT ukey FROM store) OR o.batch_n > 1
+            ),
+            vs AS (
+              SELECT source,
+                     count(*) AS violation_count,
+                     list_sort(list(ukey::VARCHAR) FILTER (rn <= 10)) AS samples
+              FROM viol GROUP BY source
+            ),
+            parts AS (SELECT source, count(*) AS rows_scanned
+                      FROM d WHERE doc_id % 2 = 1 GROUP BY source)
+            SELECT p.source AS part_id,
+                   CASE WHEN coalesce(v.violation_count, 0) > 0
+                        THEN 'FAIL' ELSE 'PASS' END AS status,
+                   p.rows_scanned,
+                   coalesce(v.violation_count, 0)::BIGINT AS violation_count,
+                   coalesce(array_to_string(v.samples, ','), '') AS samples
+            FROM parts p LEFT JOIN vs v ON p.source = v.source
         """,
         "incremental_dedup": f"""
             WITH {_LSH_CTES}

@@ -89,6 +89,7 @@ HEADLINE = [
     "distinct_bound",
     "span_grammar",
     "incremental_dedup",
+    "unique_incremental",
 ]
 
 

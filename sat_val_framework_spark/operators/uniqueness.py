@@ -210,3 +210,80 @@ def uniqueness_check(
         )
     )
     return verdicts, viol_rows
+
+
+def incremental_unique_check(
+    new_docs: DataFrame,
+    key_store: DataFrame,
+    key: str | list[str] = "doc_id",
+    part_col: str = "part_id",
+    attribution: str = "broadcast",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """-> (verdicts per batch partition, violation rows, store increment).
+
+    Cross-snapshot uniqueness for an ingest increment WITHOUT rescanning
+    the corpus — closing ``validate_increment``'s stated global-constraint
+    gap (snapshots.py): a batch row violates when its key (tuple) already
+    exists in the PERSISTED key index, or occurs more than once within the
+    batch. The already-validated corpus contributes only its distinct-key
+    index (one slim column set, append-only), the same store pattern as
+    ``dedup.incremental_neardup_pairs``'s signature index.
+
+    Plan shape at 10^12 stored keys: the store is the STREAMED probe side
+    of a left-semi join whose build side is the batch's distinct keys
+    (the small side); the matched keys come back bounded by |batch keys ∩
+    store| — tiny for a healthy ingest — and are broadcast onto the batch
+    rows together with the within-batch duplicate set (same explicit-
+    broadcast rationale as ``uniqueness_check``; pass
+    ``attribution='merge'`` for a pathological all-duplicate batch).
+
+    The store increment is the batch's distinct keys NOT already present —
+    append it to the index after the batch commits (idempotent by
+    construction: re-running the batch finds its keys present and appends
+    nothing... and flags every row, which is why the increment is appended
+    only after the batch COMMITS, not after validation).
+    """
+    keys = _key_list(key)
+    kid = ",".join(keys)
+    batch_keys = new_docs.select(*keys).distinct()
+    hit_keys = key_store.select(*keys).join(batch_keys, keys, "left_semi").distinct()
+    dups = duplicate_keys(new_docs, keys)
+    hit_b = F.broadcast(hit_keys) if attribution == "broadcast" else hit_keys
+    dup_b = F.broadcast(dups) if attribution == "broadcast" else dups
+    viol_key = (
+        F.col(keys[0])
+        if len(keys) == 1
+        else F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    )
+    viol_rows = (
+        new_docs.join(hit_b.withColumn("__in_store", F.lit(True)), keys, "left")
+        .join(dup_b, keys, "left")
+        .filter(F.coalesce(F.col("__in_store"), F.lit(False)) | F.col("dup_count").isNotNull())
+        .select(
+            F.col(part_col).alias("part_id"),
+            viol_key.alias("violation_key"),
+            F.coalesce(F.col("__in_store"), F.lit(False)).alias("in_store"),
+            F.coalesce(F.col("dup_count"), F.lit(1)).alias("dup_count"),
+        )
+    )
+    per_part = new_docs.groupBy(F.col(part_col).alias("part_id")).agg(
+        F.count(F.lit(1)).alias("rows_scanned")
+    )
+    viol_agg = bounded_samples(viol_rows, "part_id", "violation_key")
+    verdicts = (
+        per_part.join(viol_agg, "part_id", "left")
+        .select(
+            F.lit(f"unique_incr:{kid}").alias("constraint_id"),
+            F.col("part_id"),
+            F.when(F.coalesce(F.col("violation_count"), F.lit(0)) > 0, F.lit(FAIL))
+            .otherwise(F.lit(PASS))
+            .alias("status"),
+            F.col("rows_scanned"),
+            F.coalesce(F.col("violation_count"), F.lit(0)).cast("long").alias("violation_count"),
+            F.coalesce(F.col("sample_violations"), F.array().cast("array<string>")).alias(
+                "sample_violations"
+            ),
+        )
+    )
+    increment = batch_keys.join(hit_keys, keys, "left_anti")
+    return verdicts, viol_rows, increment
