@@ -218,6 +218,7 @@ def incremental_unique_check(
     key: str | list[str] = "doc_id",
     part_col: str = "part_id",
     attribution: str = "broadcast",
+    constraint_id: str | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """-> (verdicts per batch partition, violation rows, store increment).
 
@@ -273,7 +274,7 @@ def incremental_unique_check(
     verdicts = (
         per_part.join(viol_agg, "part_id", "left")
         .select(
-            F.lit(f"unique_incr:{kid}").alias("constraint_id"),
+            F.lit(constraint_id or f"unique_incr:{kid}").alias("constraint_id"),
             F.col("part_id"),
             F.when(F.coalesce(F.col("violation_count"), F.lit(0)) > 0, F.lit(FAIL))
             .otherwise(F.lit(PASS))

@@ -342,7 +342,33 @@ def run_suite(
             if ids is not None and not ids:
                 skipped.append(c.constraint_id)
                 return
-            out, viol = uniqueness_check(docs, c.column, part_col)
+            if c.params.get("store_path"):
+                # incremental mode: this table is an ingest INCREMENT and
+                # uniqueness means "no key already in the persisted corpus
+                # index, no key twice in the batch" — the cross-snapshot
+                # contract validate_increment defers to (snapshots.py).
+                # The store increment lands at params.increment_path (if
+                # set) for the orchestrator to append AFTER the batch
+                # commits — never auto-appended here, or a failed commit
+                # would poison the index.
+                from sat_val_framework_spark.operators.uniqueness import (
+                    incremental_unique_check,
+                )
+
+                store = spark.read.parquet(c.params["store_path"])
+                out, viol, inc = incremental_unique_check(
+                    docs,
+                    store,
+                    key=c.column,
+                    part_col=part_col,
+                    constraint_id=c.constraint_id,
+                )
+                if c.params.get("increment_path"):
+                    inc.write.mode("overwrite").parquet(c.params["increment_path"])
+                # in_store/dup_count ride into the violations table's
+                # detail_json — the triage columns for WHY a key flagged
+            else:
+                out, viol = uniqueness_check(docs, c.column, part_col)
             if violations_path:
                 ckpt.append_violations(
                     viol, violations_path, run_id, c.constraint_id, key_col="violation_key"

@@ -258,9 +258,12 @@ def validate_increment(
     the new data files). Partition-scoped constraints over the increment
     equal the same constraints of a full run when appends carry fresh
     partitions (the date-partitioned-lake regime; tested). GLOBAL
-    constraints (cross-snapshot uniqueness) still need a full run — an
-    increment cannot see an older snapshot's keys; this is the standard
-    incremental-validation contract, stated rather than hidden."""
+    constraints: declare the 'unique' check with ``params.store_path`` —
+    the increment then validates its keys against the corpus's persisted
+    distinct-key index (operators/uniqueness.py:incremental_unique_check)
+    instead of needing a full rescan; without a store the increment
+    cannot see an older snapshot's keys and only within-increment
+    uniqueness is checked (stated rather than hidden)."""
     from sat_val_framework_spark.runner import run_suite
 
     m = _manifest_for(table_dir, snapshot_id)

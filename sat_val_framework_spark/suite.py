@@ -160,6 +160,24 @@ class CheckSuite:
                     if c.kind == "unique"
                     else [c.column]
                 )
+                if c.kind == "unique":
+                    for p in ("store_path", "increment_path"):
+                        val = c.params.get(p)
+                        if val is not None and (not isinstance(val, str) or not val):
+                            # a non-string path raises mid-job (retryable
+                            # ERROR re-run-forever class) — reject eagerly
+                            errors.append(
+                                SuiteConfigError(
+                                    f"{c.constraint_id}: params.{p} must be a non-empty string"
+                                )
+                            )
+                    if c.params.get("increment_path") and not c.params.get("store_path"):
+                        errors.append(
+                            SuiteConfigError(
+                                f"{c.constraint_id}: params.increment_path requires "
+                                "params.store_path (incremental mode)"
+                            )
+                        )
                 if c.kind == "unique" and any("." in k for k in parts):
                     # dotted components break constraint-id parity: the
                     # operator embeds the full path, Check.constraint_id

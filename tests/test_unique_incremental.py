@@ -109,3 +109,48 @@ def test_store_side_never_recomputed(spark, corpus):
     plan = verdicts._jdf.queryExecution().executedPlan().toString()
     scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "/keys" in ln]
     assert scans and "doc_id" in scans[0] and "part_id" not in scans[0]
+
+
+def test_unique_kind_incremental_mode_via_suite(spark, corpus, tmp_path):
+    """Declared incremental uniqueness: Check('unique', key,
+    {store_path}) validates the batch against the persisted index, writes
+    the store increment to increment_path, rides checkpoint resume, and
+    keeps the Check's constraint_id (resume-parity)."""
+    from sat_val_framework_spark.runner import run_suite
+    from sat_val_framework_spark.suite import Check, CheckSuite
+
+    old, batch = corpus
+    store_path = str(tmp_path / "keys")
+    old.select("doc_id").distinct().write.parquet(store_path)
+    inc_path = str(tmp_path / "inc")
+    suite = CheckSuite(
+        [Check("unique", "doc_id", {"store_path": store_path, "increment_path": inc_path})]
+    )
+    assert suite.validate(batch) == []
+    ckpt_path = str(tmp_path / "ck")
+    res = run_suite(spark, batch, suite, checkpoint_path=ckpt_path, run_id="iu1")
+    st = {r["part_id"]: r for r in res.verdicts.collect()}
+    assert all(r["constraint_id"] == "unique:doc_id" for r in st.values())
+    assert st[0]["status"] == "FAIL" and st[1]["status"] == "FAIL"
+    inc = spark.read.parquet(inc_path)
+    assert {r["doc_id"] for r in inc.collect()} == {"b0", "b1", "b2", "b3", "b4", "b5"}
+
+    res2 = run_suite(spark, batch, suite, checkpoint_path=ckpt_path, run_id="iu1")
+    assert res2.verdicts.count() == 0 and res2.skipped == ["unique:doc_id"]
+
+
+def test_unique_kind_incremental_config_validation(spark, corpus):
+    from sat_val_framework_spark.suite import Check, CheckSuite
+
+    _, batch = corpus
+
+    def errs(check):
+        return [str(e) for e in CheckSuite([check]).validate(batch)]
+
+    assert any("store_path" in e for e in errs(Check("unique", "doc_id", {"store_path": 7})))
+    assert any("store_path" in e for e in errs(Check("unique", "doc_id", {"store_path": ""})))
+    assert any(
+        "requires" in e
+        for e in errs(Check("unique", "doc_id", {"increment_path": "/tmp/x"}))
+    )
+    assert not errs(Check("unique", "doc_id", {"store_path": "/tmp/x"}))
