@@ -154,3 +154,30 @@ def test_unique_kind_incremental_config_validation(spark, corpus):
         for e in errs(Check("unique", "doc_id", {"increment_path": "/tmp/x"}))
     )
     assert not errs(Check("unique", "doc_id", {"store_path": "/tmp/x"}))
+
+
+def test_validate_increment_with_key_store_flags_cross_snapshot_dup(spark, tmp_path):
+    """The complete nightly-lake flow: snapshot 1 lands and its keys are
+    indexed; snapshot 2 appends a key snapshot 1 already holds; validating
+    ONLY the increment with the store-backed unique check flags it —
+    cross-snapshot uniqueness without rescanning snapshot 1."""
+    from sat_val_framework_spark.sources.snapshots import (
+        validate_increment,
+        write_snapshot,
+    )
+    from sat_val_framework_spark.suite import Check, CheckSuite
+
+    tbl = str(tmp_path / "lake")
+    day1 = _df(spark, [(f"d1-{i}", i % 2) for i in range(10)])
+    write_snapshot(day1, tbl)
+    store_path = str(tmp_path / "keys")
+    day1.select("doc_id").distinct().write.parquet(store_path)
+
+    day2 = _df(spark, [("d1-3", 0), ("d2-0", 1)])  # d1-3 re-ingested
+    s2 = write_snapshot(day2, tbl, mode="append")
+    suite = CheckSuite([Check("unique", "doc_id", {"store_path": store_path})])
+    res = validate_increment(spark, tbl, s2, suite=suite)
+    st = {r["part_id"]: r for r in res.verdicts.collect()}
+    assert st[0]["status"] == "FAIL" and st[0]["sample_violations"] == ["d1-3"]
+    assert st[1]["status"] == "PASS"
+    assert st[0]["rows_scanned"] == 1  # the increment, not the lake
