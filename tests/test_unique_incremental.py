@@ -89,12 +89,10 @@ def test_composite_key_and_clean_batch(spark):
     assert st[0]["constraint_id"] == "unique_incr:doc_id,src"
     assert inc.count() == 2
     # re-ingesting the same batch against the committed store flags ALL rows
-    _, viol_re, inc_re = incremental_unique_check(batch, store.unionByName(inc))
-    # key for the check defaulted to doc_id here — use the composite again
-    _, viol_re2, inc_re2 = incremental_unique_check(
+    _, viol_re, inc_re = incremental_unique_check(
         batch, store.unionByName(inc), key="doc_id,src"
     )
-    assert viol_re2.count() == 2 and inc_re2.count() == 0
+    assert viol_re.count() == 2 and inc_re.count() == 0
 
 
 def test_store_side_never_recomputed(spark, corpus):
