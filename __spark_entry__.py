@@ -707,18 +707,34 @@ def q_span_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant offsets (%97)."""
     from sat_val_framework_spark.operators.span_grammar import span_grammar_check
 
-    d = _t(spark, sf_dir, "documents")
+    synth = _synth_spans(_t(spark, sf_dir, "documents"))
+    out = span_grammar_check(
+        synth,
+        ["text", "image", "audio"],
+        part_col="source",
+        require_text=True,
+        require_spans=True,
+    )
+    return out.select(
+        "part_id",
+        "status",
+        "rows_scanned",
+        "violation_count",
+        F.array_join("sample_violations", ",").alias("samples"),
+    )
+
+
+def _synth_spans(d: DataFrame):
+    """Deterministic interleaved spans from the flat documents table —
+    shared by q_span_grammar and q_span_grammar_profile (one generation
+    rule, two operators, one arithmetic oracle)."""
     i = F.col("doc_id")
     n_spans = (F.lit(1) + F.pmod(i, F.lit(5))).cast("int")
     empty_doc = F.pmod(i, F.lit(101)) == 11
     bad_kind_doc = F.pmod(i, F.lit(71)) == 3
-    # only injectable when span 0 is a text span under the base kind rule
-    # and not already overridden to 'video'
     bad_text_doc = (
         (F.pmod(i, F.lit(61)) == 9) & (F.pmod(i, F.lit(3)) != 0) & ~bad_kind_doc
     )
-    # the last span is forced to a ref-less image; needs >=2 spans so it
-    # never collides with the span-0 injections
     bad_media_doc = (F.pmod(i, F.lit(53)) == 7) & (n_spans >= 2)
     bad_order_doc = (F.pmod(i, F.lit(97)) == 5) & (n_spans >= 2)
 
@@ -752,20 +768,19 @@ def q_span_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
         empty_doc,
         F.array().cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>"),
     ).otherwise(F.transform(F.sequence(F.lit(0), n_spans - 1), span))
-    synth = d.select("source", "doc_id", spans.alias("spans"))
-    out = span_grammar_check(
-        synth,
-        ["text", "image", "audio"],
-        part_col="source",
-        require_text=True,
-        require_spans=True,
-    )
-    return out.select(
-        "part_id",
-        "status",
-        "rows_scanned",
-        "violation_count",
-        F.array_join("sample_violations", ",").alias("samples"),
+    return d.select("source", "doc_id", spans.alias("spans"))
+
+
+def q_span_grammar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule diagnostic rollup of the same synthesized span arrays
+    (operators/span_grammar.py:span_grammar_profile): which grammar rule is
+    breaking, where, how often — one hash-agg, one row per partition. The
+    oracle recomputes every per-rule count from the generation arithmetic."""
+    from sat_val_framework_spark.operators.span_grammar import span_grammar_profile
+
+    synth = _synth_spans(_t(spark, sf_dir, "documents"))
+    return span_grammar_profile(
+        synth, ["text", "image", "audio"], part_col="source", require_text=True
     )
 
 
@@ -1357,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_grammar": q_span_grammar,
         "incremental_dedup": q_incremental_dedup,
         "unique_incremental": q_unique_incremental,
+        "span_grammar_profile": q_span_grammar_profile,
         "semantic_dedup": q_semantic_dedup,
         "bpe_count": q_bpe_count,
         "uniqueness_hotkey": q_uniqueness_hotkey,
@@ -1686,6 +1702,33 @@ def oracle_sql() -> dict[str, str]:
                        list_slice(list_sort(list(ann) FILTER (violated)), 1, 10),
                        ','), '') AS samples
             FROM v GROUP BY source
+        """,
+        "span_grammar_profile": """
+            WITH d AS (
+              SELECT source, doc_id,
+                     1 + (doc_id % 5) AS n_spans,
+                     (doc_id % 101 = 11) AS empty_doc
+              FROM documents
+            ), f AS (
+              SELECT source,
+                empty_doc AS no_spans,
+                (NOT empty_doc AND doc_id % 71 = 3) AS bad_kind,
+                (NOT empty_doc AND doc_id % 61 = 9 AND doc_id % 3 <> 0
+                     AND doc_id % 71 <> 3) AS bad_text,
+                (NOT empty_doc AND doc_id % 53 = 7 AND n_spans >= 2) AS bad_media,
+                (NOT empty_doc AND doc_id % 97 = 5 AND n_spans >= 2) AS bad_order
+              FROM d
+            )
+            SELECT source AS part_id,
+                   count(*) AS n_docs,
+                   (count(*) FILTER (no_spans))::BIGINT AS no_spans_docs,
+                   (count(*) FILTER (bad_kind))::BIGINT AS bad_kind_docs,
+                   (count(*) FILTER (bad_text))::BIGINT AS bad_text_docs,
+                   (count(*) FILTER (bad_media))::BIGINT AS bad_media_docs,
+                   (count(*) FILTER (bad_order))::BIGINT AS bad_order_docs,
+                   (count(*) FILTER (no_spans OR bad_kind OR bad_text
+                                     OR bad_media OR bad_order))::BIGINT AS violated_docs
+            FROM f GROUP BY source
         """,
         "stats_per_source": """
             SELECT source AS grp,
