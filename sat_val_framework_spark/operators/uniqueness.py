@@ -247,7 +247,14 @@ def incremental_unique_check(
     keys = _key_list(key)
     kid = ",".join(keys)
     batch_keys = new_docs.select(*keys).distinct()
-    hit_keys = key_store.select(*keys).join(batch_keys, keys, "left_semi").distinct()
+    # explicit broadcast of the batch keys: left to Catalyst the semi join
+    # plans SMJ, which SHUFFLES the corpus-sized store on every batch — the
+    # one shape this operator exists to avoid. Broadcast keeps the store
+    # map-side streamed; 'merge' is the escape hatch for a batch whose
+    # distinct keys exceed broadcast capacity (then one store shuffle is
+    # the honest cost).
+    probe = F.broadcast(batch_keys) if attribution == "broadcast" else batch_keys
+    hit_keys = key_store.select(*keys).join(probe, keys, "left_semi").distinct()
     dups = duplicate_keys(new_docs, keys)
     hit_b = F.broadcast(hit_keys) if attribution == "broadcast" else hit_keys
     dup_b = F.broadcast(dups) if attribution == "broadcast" else dups

@@ -103,10 +103,15 @@ def test_store_side_never_recomputed(spark, corpus):
     old, batch = corpus
     path = tempfile.mkdtemp() + "/keys"
     old.select("doc_id").distinct().write.parquet(path)
-    verdicts, _, _ = incremental_unique_check(batch, spark.read.parquet(path))
+    verdicts, viol, _ = incremental_unique_check(batch, spark.read.parquet(path))
     plan = verdicts._jdf.queryExecution().executedPlan().toString()
     scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "/keys" in ln]
     assert scans and "doc_id" in scans[0] and "part_id" not in scans[0]
+    # the store must never shuffle: every join in the default mode is a
+    # broadcast (an SMJ here re-shuffles the corpus-sized index per batch)
+    viol_plan = viol._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in viol_plan
+    assert "BroadcastHashJoin" in viol_plan
 
 
 def test_unique_kind_incremental_mode_via_suite(spark, corpus, tmp_path):
