@@ -394,6 +394,7 @@ def incremental_neardup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "md5",
+    batch_broadcast: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Dedup an ingest batch against a PERSISTED signature index without
     rescanning the corpus text — the batch counterpart of the streaming
@@ -424,6 +425,21 @@ def incremental_neardup_pairs(
       same capped self-join as ``lsh_candidate_pairs``.
     - re-ingest of an already-stored doc_id pairs with other docs but
       never with itself (doc_new != doc_old).
+
+    ``batch_broadcast`` (default True) broadcasts the batch's banded rows
+    into the store join EXPLICITLY — the batch side comes out of an
+    aggregate, so Catalyst has no size stats and would otherwise plan an
+    SMJ that re-shuffles the corpus-sized index every batch (the
+    uniqueness operator's lesson, plan-asserted there). Set False for a
+    batch too large to broadcast (bands x batch rows): one store shuffle
+    is then the honest cost — or chunk the batch.
+
+    Caveat for ``max_bucket_size`` at 10^12 stored rows: the bucket-size
+    aggregate scans the WHOLE store per batch (map-side combine makes it
+    one shuffle of distinct buckets, but the scan is corpus-sized). A
+    production deployment maintains the pruned index (small buckets +
+    hubs) incrementally alongside the raw one and passes it as ``store``
+    with ``max_bucket_size=None`` instead of re-deriving it per batch.
     """
     sigs = minhash_signature(new_docs, k, n, text_col, id_col, hash_fn)
     banded_new = banded_signatures(sigs, bands, rows_per_band)
@@ -441,8 +457,9 @@ def incremental_neardup_pairs(
             F.col("__hub").alias("doc_id"), "band_id", "band_key"
         )
         store_idx = small.unionByName(hubs)
+    probe = F.broadcast(banded_new) if batch_broadcast else banded_new
     new_vs_old = (
-        banded_new.alias("n")
+        probe.alias("n")
         .join(store_idx.alias("o"), ["band_id", "band_key"])
         .filter(F.col("n.doc_id") != F.col("o.doc_id"))
         .select(

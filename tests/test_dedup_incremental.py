@@ -131,3 +131,21 @@ def test_incremental_join_keeps_batch_side_small(spark, corpus):
     scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "store" in ln]
     assert scans and "band_key" in scans[0]
     assert "md5" not in scans[0]
+
+
+def test_store_join_never_smj_in_broadcast_mode(spark, corpus):
+    """The batch side has no size stats (it comes out of an aggregate), so
+    without the explicit broadcast Catalyst would SMJ-shuffle the
+    corpus-sized index every batch; batch_broadcast=False is the
+    documented fallback and is allowed to shuffle."""
+    old_rows, new_rows = _split(corpus)
+    store = banded_signatures(minhash_signature(_docs(spark, old_rows), k=12), 4, 3)
+    nvo, _, _ = incremental_neardup_pairs(_docs(spark, new_rows), store)
+    plan = nvo._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    nvo_big, _, _ = incremental_neardup_pairs(
+        _docs(spark, new_rows), store, batch_broadcast=False
+    )
+    got = {tuple(sorted((r["doc_new"], r["doc_old"]))) for r in nvo_big.collect()}
+    want = {tuple(sorted((r["doc_new"], r["doc_old"]))) for r in nvo.collect()}
+    assert got == want  # join strategy never changes the answer
