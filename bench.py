@@ -90,6 +90,7 @@ HEADLINE = [
     "span_grammar",
     "incremental_dedup",
     "unique_incremental",
+    "span_grammar_profile",
 ]
 
 
