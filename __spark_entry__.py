@@ -484,8 +484,14 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup.jaccard_pairs) survives only as the pytest oracle."""
     d = _t_wide(spark, sf_dir, "documents")
     sigs = dedup.minhash_signature(d, k=12)
-    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=3)
-    return dedup.jaccard_on_pairs(cands, d, threshold=0.03)
+    # r6: materialize the (small) candidate id pairs so the verify stage
+    # prunes its shingle explodes to candidate docs only (guide §8 —
+    # decide with small rows); without the checkpoint the id scan would be
+    # a second consumer re-running the whole LSH pipeline
+    cands = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=3).localCheckpoint(
+        eager=True
+    )
+    return dedup.jaccard_on_pairs(cands, d, threshold=0.03, prune_docs=True)
 
 
 def q_ngram_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1239,20 +1245,24 @@ def q_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     language, AND exact-dedup (keep the lowest doc_id of each digest group)
     — the B10 whole-document rejection shape applied to a real pipeline."""
     d = _t_wide(spark, sf_dir, "documents")
-    q = text.quality_score(d).select("doc_id", "quality_score")
-    l = text.lang_id(d).select("doc_id", "lang_pred")
-    # exact-dedup keeper: lowest doc_id per content digest
-    keeper = (
-        d.select("doc_id", F.md5("text").alias("digest"))
-        .groupBy("digest")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # r6 single-scan shape (guide §1.2): score, lang, and digest come out of
+    # ONE projection (sharing the stopword regex the old 3-scan/3-join plan
+    # evaluated twice); the exact-dedup keeper (lowest doc_id per digest)
+    # and its quality/lang ride ONE min_by hash-agg — keeper-then-filter is
+    # the same set as filter-then-semi-join because keeper selection never
+    # looked at quality/lang
+    t = F.col("text")
+    base = d.select(
+        "doc_id",
+        text.quality_score_col(t).alias("quality_score"),
+        text.lang_pred_col(t).alias("lang_pred"),
+        F.md5("text").alias("digest"),
+    )
+    kept = base.groupBy("digest").agg(
+        F.min_by(F.struct("doc_id", "quality_score", "lang_pred"), "doc_id").alias("k")
     )
     return (
-        d.select("doc_id")
-        .join(q, "doc_id")
-        .join(l, "doc_id")
-        .join(keeper, "doc_id", "left_semi")
+        kept.select("k.*")
         .filter((F.col("quality_score") >= 0.4) & (F.col("lang_pred") == "en"))
         .select("doc_id", F.col("quality_score"))
     )

@@ -103,6 +103,7 @@ def jaccard_on_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    prune_docs: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard evaluated ONLY on given candidate pairs
     (doc_a, doc_b) — the verify stage of the LSH->verify composition.
@@ -112,12 +113,36 @@ def jaccard_on_pairs(
     side's exploded distinct shingles by (doc, shingle) equi-keys:
     cost is O(|candidates| x shingles_per_doc), shuffle keys are
     high-cardinality (doc_b, shingle) — well distributed at any corpus size.
+
+    ``prune_docs`` (r6, guide §8 "decide with small rows"): semi-join
+    ``docs`` down to the ids that actually appear in ``candidates`` BEFORE
+    tokenizing/shingling, so the two shingle explodes run over candidate
+    docs only instead of the whole corpus (results unchanged — the pair
+    joins never matched non-candidate docs anyway). Only worth it when
+    ``candidates`` is already materialized (localCheckpoint/persisted/
+    written): the id scan is a SECOND consumer of the candidate subtree,
+    and an unmaterialized one would re-run the whole LSH pipeline.
     """
+    if prune_docs:
+        cand_ids = (
+            candidates.select(F.col("doc_a").alias(id_col))
+            .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
+            .distinct()
+        )
+        docs = docs.join(cand_ids, id_col, "left_semi")
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles_col(F.col(text_col), n))).alias("shingle"),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # |A| per doc is the SIZE of its distinct-shingle array — a per-row
+    # projection, identical to counting the exploded rows (the shingle
+    # floor gives every doc >= 1 element, so no doc goes missing) but
+    # without re-deriving + re-exploding + re-aggregating the whole
+    # shingle frame a third time (r6, guide §1.2)
+    sizes = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.array_distinct(shingles_col(F.col(text_col), n))).alias("n_shingles"),
+    )
     cand = candidates.select("doc_a", "doc_b")
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -567,6 +592,75 @@ def hamming_distance(sig_a: Column, sig_b: Column, n_bits: int) -> Column:
     return total
 
 
+def _simhash64_longs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, hi, lo): the md5 64-bit SimHash of
+    ``simhash_bits(n_bits=64, hash_fn='md5')`` packed numerically — sig
+    string bit j == bit (31-j) of ``hi`` for j<32, bit (63-j) of ``lo``
+    otherwise. Same votes, same majority threshold, bit-identical
+    signatures; only the representation differs.
+
+    Why (r6, guide §1.2 per-task work): the string path decodes SIXTEEN
+    ``conv(substring(h,k,1))`` hex digits per token before the 64
+    conditional sums; here the 64 bit tests read TWO conv results
+    (hex digits 1-15 as one 60-bit long + digit 16) via ``bit_get`` — and
+    every downstream stage (chunk keys, XOR popcount verify, the
+    candidate distinct) moves 2 longs instead of a 64-char string.
+    Token-less docs are simply ABSENT (no NULL-signature join-back: a NULL
+    key never equi-joins, so the pair output is unchanged); callers that
+    need the NULL row use ``simhash_bits``."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    )
+    src = toks.select("doc_id", F.md5("tok").alias("h")).select(
+        "doc_id",
+        # md5 hex digits 1-15 -> sig bits 0..59 (bit j = bit 59-j of w1)
+        F.conv(F.substring("h", 1, 15), 16, 10).cast("long").alias("w1"),
+        F.conv(F.substring("h", 16, 1), 16, 10).cast("long").alias("w2"),
+    )
+    bit = lambda j: (  # noqa: E731
+        F.bit_get("w1", F.lit(59 - j)) if j < 60 else F.bit_get("w2", F.lit(63 - j))
+    )
+    aggs = [F.count(F.lit(1)).alias("n_tok")] + [
+        F.sum(bit(j)).alias(f"v{j}") for j in range(64)
+    ]
+    votes = src.groupBy("doc_id").agg(*aggs)
+
+    def half(lo_bit: int, hi_bit: int) -> Column:
+        e = F.lit(0).cast("long")
+        for j in range(lo_bit, hi_bit):
+            e = e + F.when(
+                F.col(f"v{j}") * 2 >= F.col("n_tok"),
+                F.lit(1 << (hi_bit - 1 - j)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        return e
+
+    return votes.select("doc_id", half(0, 32).alias("hi"), half(32, 64).alias("lo"))
+
+
+def _simhash64_chunked(sigs: DataFrame, n_chunks: int) -> DataFrame:
+    """(doc_id, hi, lo, chunk_id, chunk_key) from a _simhash64_longs frame:
+    chunk_key is the (64/n_chunks)-bit integer slice — the numeric twin of
+    ``simhash_chunked``'s substring keys (same bit partition)."""
+    w = 64 // n_chunks
+    mask = F.lit((1 << w) - 1).cast("long")
+    chunks = []
+    for j in range(n_chunks):
+        if (j + 1) * w <= 32:
+            val = F.shiftright(F.col("hi"), 32 - (j + 1) * w)
+        else:
+            val = F.shiftright(F.col("lo"), 64 - (j + 1) * w)
+        chunks.append(
+            F.struct(
+                F.lit(j).alias("chunk_id"), val.bitwiseAND(mask).alias("chunk_key")
+            )
+        )
+    return sigs.select(
+        "doc_id", "hi", "lo", F.explode(F.array(*chunks)).alias("c")
+    ).select("doc_id", "hi", "lo", "c.chunk_id", "c.chunk_key")
+
+
 def simhash_chunked(
     sigs: DataFrame, n_bits: int = 64, n_chunks: int = 4
 ) -> DataFrame:
@@ -627,6 +721,31 @@ def simhash_near_dup(
     if max_hamming >= n_chunks:
         raise ValueError(
             f"pigeonhole recall needs max_hamming < n_chunks ({max_hamming} >= {n_chunks})"
+        )
+    w = 64 // n_chunks if n_chunks else 0
+    if hash_fn == "md5" and n_bits == 64 and n_chunks > 0 and 64 % n_chunks == 0 \
+            and w <= 32 and 32 % w == 0:
+        # numeric fast path (r6): bit-identical signatures packed as two
+        # longs (_simhash64_longs), integer chunk keys, and an XOR-popcount
+        # verify on longs — no per-candidate binary-string parsing, and the
+        # candidate distinct shuffles 4 longs/row instead of two 64-char
+        # strings (guide §2.3 narrower types / §1.2 per-task work)
+        sigs = _simhash64_longs(docs, text_col, id_col)
+        chunked = _simhash64_chunked(sigs, n_chunks)
+        cands = capped_bucket_pairs(
+            chunked,
+            ["chunk_id", "chunk_key"],
+            max_bucket_size,
+            oversize,
+            carry_cols=["hi", "lo"],
+        )
+        ham = (
+            F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+            + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        ).cast("int")
+        return (
+            cands.select("doc_a", "doc_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
         )
     sigs = simhash_bits(docs, n_bits, text_col, id_col, hash_fn)
     chunked = simhash_chunked(sigs, n_bits, n_chunks)
@@ -720,7 +839,9 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b",
             F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
                 "label"
             ),
-        )
+        ).localCheckpoint(eager=True)  # two consumers below (self-join both
+        # sides) — un-checkpointed, the hook join + hash-agg re-ran once per
+        # side every round (ADVICE r5; the repo's two-consumers gotcha)
         # pointer doubling: label <- hooked(label). Self-join on the SAME
         # round's hooked frame (l1(l1(u))) — joining the stale frame would
         # only re-add last round's reach instead of composing this one's.
@@ -956,6 +1077,7 @@ def cross_contamination(
     hash_fn: str = "md5",
     max_bucket_size: int | None = None,
     oversize: str = "star",
+    materialize_candidates: bool = True,
 ) -> DataFrame:
     """-> (a_id, b_id, jaccard): near-duplicate pairs ACROSS two corpora —
     benchmark-contamination detection (did eval data leak into the training
@@ -993,7 +1115,17 @@ def cross_contamination(
     cands = lsh_candidate_pairs(
         sigs, bands, rows_per_band, max_bucket_size, oversize
     ).where(F.col("doc_a").startswith("a:") & F.col("doc_b").startswith("b:"))
-    pairs = jaccard_on_pairs(cands, u, threshold, n, text_col, id_col)
+    if materialize_candidates:
+        # materialize the (small) cross-candidate id pairs so the verify
+        # stage can prune its shingle explodes to candidate docs without
+        # re-running the LSH pipeline as a second consumer (r6; guide §8 —
+        # decide with small rows, and §3.3 — truncate the plan where a
+        # subtree would otherwise execute twice). Cross-corpus candidates
+        # are few by construction (contamination is the rare event).
+        cands = cands.localCheckpoint(eager=True)
+    pairs = jaccard_on_pairs(
+        cands, u, threshold, n, text_col, id_col, prune_docs=materialize_candidates
+    )
     return pairs.select(
         F.expr("substring(doc_a, 3)").alias("a_id"),
         F.expr("substring(doc_b, 3)").alias("b_id"),

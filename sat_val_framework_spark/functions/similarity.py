@@ -17,17 +17,37 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity between two array<float/double> columns, JVM-side."""
-    dot = F.aggregate(
+def dot_product(a: Column, b: Column) -> Column:
+    """Left-fold dot product of two array<float/double> columns
+    (``aggregate(zip_with(a,b,*), 0.0, acc+v)`` — strictly left-to-right
+    accumulation, the order every oracle twin mirrors with list_reduce).
+
+    NEGATIVE RESULT (r6, PLANS.md): unrolling this into a flat 64-term
+    ``lit(0.0)+a[0]*b[0]+...`` Add chain — hoping for whole-stage codegen —
+    measured 3-4x SLOWER than the HOF fold on a 3M-pair verify (28s vs 8s),
+    balanced tree included, with no codegen-failure warning anywhere. An
+    Arrow cumsum kernel (bit-identical left fold via np.add.accumulate)
+    also lost: the 2x64-double-per-pair boundary crossing costs more than
+    it saves (11s). The interpreted HOF fold IS the fastest exact shape;
+    what actually pays is calling it once per pair instead of three times
+    (see embedding_near_dup_pairs' norm hoist)."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    norm = lambda v: F.sqrt(
+
+
+def l2_norm(v: Column) -> Column:
+    """L2 norm with the same fold order as dot_product."""
+    return F.sqrt(
         F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
     )
-    return dot / (norm(a) * norm(b))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<float/double> columns, JVM-side."""
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
 
 
 def brute_force_topk(
@@ -37,18 +57,32 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k neighbors per query (excluding self-matches)."""
+    """Exact top-k neighbors per query (excluding self-matches).
+
+    Norms are hoisted out of the per-pair expression: each side computes
+    its own L2 norm ONCE (n + q rows), the pair projection is one dot fold
+    + a multiply — same floats (`dot/(norm_a*norm_b)` unchanged), one fold
+    per pair instead of three (guide §1.2 per-task work; r6)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("query_vec"), F.col("vec")).alias("cos_sim"),
+            (
+                dot_product(F.col("query_vec"), F.col("vec"))
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -67,16 +101,29 @@ def threshold_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """All (query, neighbor) pairs with cosine >= threshold — the set-valued
-    twin of top-k (no rank, so float-tie order can't affect the result)."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
+    twin of top-k (no rank, so float-tie order can't affect the result).
+    Norms hoisted per side (see brute_force_topk)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
     return (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("query_vec"), F.col("vec")), 6).alias("cos_sim"),
+            F.round(
+                dot_product(F.col("query_vec"), F.col("vec"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -102,21 +149,31 @@ def bucketed_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's sign bucket.
     Equi-join on the bucket key replaces the cross join — the plan scales
-    with bucket occupancy, not corpus size × query count."""
+    with bucket occupancy, not corpus size × query count. Norms hoisted
+    per side (see brute_force_topk)."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
         sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
         sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("query_vec"), F.col("vec")).alias("cos_sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_product(F.col("query_vec"), F.col("vec"))
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
@@ -185,16 +242,53 @@ def embedding_near_dup_pairs(
     near-identical embeddings — dedup.capped_bucket_pairs semantics:
     all-pairs under the cap, hub-star above it, auditable via
     ``embedding_oversized_buckets``).
+
+    Per-vector norms are computed ONCE before the pair join (n rows, not
+    n_pairs) and carried as scalars; the division ``dot/(norm_a*norm_b)``
+    is unchanged, so scores are bit-identical to the inline cosine while
+    the per-candidate verify runs ONE fold instead of three (guide §1.2;
+    r6 — see dot_product's docstring for the rejected faster-looking
+    variants).
     """
     from sat_val_framework_spark.functions.dedup import capped_bucket_pairs
 
-    banded = sign_banded(emb, n_bits, bands, id_col, vec_col)
-    cands = capped_bucket_pairs(
-        banded, ["band_id", "band_key"], max_bucket_size, oversize, carry_cols=["vec"]
+    banded = sign_banded(emb, n_bits, bands, id_col, vec_col).withColumn(
+        "nrm", l2_norm(F.col("vec"))
     )
-    scored = cands.select(
-        "doc_a", "doc_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cos")
-    )
+    if max_bucket_size is None:
+        # uncapped fast path: score every band hit in the join's output
+        # projection and collapse duplicates in the (ids, cos) groupBy —
+        # NEVER a distinct over rows still carrying both vectors (that
+        # shuffled 2 x dim doubles per candidate; the hash-agg here ships
+        # ~24 bytes). Same result: a pair hit by both bands scores the
+        # same cos twice and max() collapses it.
+        a, b = banded.alias("a"), banded.alias("b")
+        scored = a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (
+                dot_product(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cos"),
+        )
+    else:
+        cands = capped_bucket_pairs(
+            banded, ["band_id", "band_key"], max_bucket_size, oversize,
+            carry_cols=["vec", "nrm"],
+        )
+        scored = cands.select(
+            "doc_a",
+            "doc_b",
+            (
+                dot_product(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("nrm_a") * F.col("nrm_b"))
+            ).alias("cos"),
+        )
     return (
         scored.groupBy(F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b"))
         .agg(F.round(F.max("cos"), 6).alias("cos_sim"))
@@ -310,17 +404,26 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
         top_cells(F.col(vec_col), 1)[0].alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
         F.explode(top_cells(F.col(vec_col), n_probe)).alias("cell"),
     )
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("query_vec"), F.col("vec")).alias("cos_sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_product(F.col("query_vec"), F.col("vec"))
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cos_sim"),
+        )
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("cos_sim").alias("cos_sim"))  # dedupe multi-probe hits
     )

@@ -168,6 +168,35 @@ def bpe_token_count(
     )
 
 
+def quality_score_col(t: Column) -> Column:
+    """The (6dp-rounded) quality score as a bare Column — shared by
+    ``quality_score`` and single-scan fusions (e.g. the training_filter
+    query computes score + lang + digest in ONE projection instead of
+    three scans + three joins; r6, guide §1.2)."""
+    n_chars = F.length(t)
+    n_tokens = n_tokens_col(t)
+    n_punct = F.regexp_count(t, F.lit(PUNCT_RE))
+    n_stop = F.regexp_count(F.lower(t), F.lit(STOPWORD_RE))
+    avg_tok = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    score = (
+        F.least(stop_ratio * 2.0, F.lit(1.0)) * 0.5
+        + F.when((avg_tok >= 3.0) & (avg_tok <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0)) * 0.3
+        + F.least(punct_ratio * 20.0, F.lit(1.0)) * 0.2
+    )
+    return F.round(score, 6)
+
+
+def lang_pred_col(t: Column) -> Column:
+    """The predicted-language Column of ``lang_id`` (same sharing rationale
+    as quality_score_col)."""
+    n_tokens = n_tokens_col(t)
+    n_stop = F.regexp_count(F.lower(t), F.lit(STOPWORD_RE))
+    ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    return F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unk"))
+
+
 def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Length / punctuation / stopword heuristics -> one quality score.
 
@@ -183,11 +212,6 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     avg_tok = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
-    score = (
-        F.least(stop_ratio * 2.0, F.lit(1.0)) * 0.5
-        + F.when((avg_tok >= 3.0) & (avg_tok <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0)) * 0.3
-        + F.least(punct_ratio * 20.0, F.lit(1.0)) * 0.2
-    )
     return docs.select(
         F.col(id_col).alias("doc_id"),
         n_chars.cast("long").alias("n_chars"),
@@ -195,20 +219,20 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.round(avg_tok, 6).alias("avg_token_len"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        quality_score_col(t).alias("quality_score"),
     )
 
 
 def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """N-gram/stopword-heuristic language ID. Real pipelines plug a model in
     here; the engine contract is the shape: doc_id -> (lang, confidence)."""
-    lower = F.lower(F.col(text_col))
-    n_tokens = n_tokens_col(F.col(text_col))
-    n_stop = F.regexp_count(lower, F.lit(STOPWORD_RE))
+    t = F.col(text_col)
+    n_tokens = n_tokens_col(t)
+    n_stop = F.regexp_count(F.lower(t), F.lit(STOPWORD_RE))
     ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0))
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
+        lang_pred_col(t).alias("lang_pred"),
         F.round(F.least(ratio * 5.0, F.lit(1.0)), 6).alias("lang_conf"),
     )
 

@@ -116,6 +116,85 @@ def cardinality_profile(
     )
 
 
+def _exact_group_percentiles(
+    vals: DataFrame, group_cols: list[str], value_col: str, probs: list[float]
+) -> DataFrame:
+    """Distributed exact percentiles, bit-identical to
+    ``F.percentile(value_col, p)`` per group.
+
+    Why not ``F.percentile`` itself: it is a TypedImperativeAggregate — every
+    task builds a boxed value->count OpenHashMap outside codegen, serializes
+    it across the shuffle, and ONE final task per group merges + sorts the
+    whole value histogram (measured 38-57s on the sf1.0 fences/quantile
+    queries; guide §2.3 "aggregate before you shuffle" only helps when the
+    aggregate itself is cheap). This shape computes the identical result
+    from codegen'd operators: (1) one hash-agg counts occurrences per
+    (group, value) — map-side partial agg, only distinct values cross the
+    shuffle; (2) one window per group over the DISTINCT values accumulates
+    counts into [start, end) position ranges; (3) the values straddling each
+    target position are picked out with one more hash-agg and combined with
+    Spark's own Percentile interpolation formula
+    ``(higher - pos) * lowerKey + (pos - lower) * higherKey`` (doubles, same
+    operation order — the r4 fused-kernel parity precedent), with the
+    lowerKey==higherKey / integral-position branches returning lowerKey
+    directly exactly as Percentile.getPercentile does.
+
+    NULLs are excluded; a group with zero non-null values keeps its row with
+    NULL percentiles (n = count(value_col) = 0) — percentile() semantics.
+    The per-group window sorts distinct values in one task; at 10^12 rows
+    the approx sketch path remains the documented scale switch, but this
+    exact path now bounds the single-task work by DISTINCT values, not by
+    partial-map merge + boxed updates over every row."""
+    from pyspark.sql import Window
+
+    gc = [F.col(c) for c in group_cols]
+    v = F.col(value_col).cast("double")
+    totals = vals.groupBy(*gc).agg(F.count(value_col).alias("__n"))
+    counts = (
+        vals.where(v.isNotNull())
+        .groupBy(*gc, v.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__v")
+    cum = counts.withColumn("__end", F.sum("__c").over(w)).withColumn(
+        "__start", F.col("__end") - F.col("__c")
+    )
+    j = cum.join(F.broadcast(totals), group_cols)
+
+    def pos_of(p: float):
+        return (F.col("__n") - F.lit(1)).cast("double") * F.lit(float(p))
+
+    sel = []
+    for i, p in enumerate(probs):
+        pos = pos_of(p)
+        lo, hi = F.floor(pos), F.ceil(pos)
+        sel.append(
+            F.max(
+                F.when((lo >= F.col("__start")) & (lo < F.col("__end")), F.col("__v"))
+            ).alias(f"__lk{i}")
+        )
+        sel.append(
+            F.max(
+                F.when((hi >= F.col("__start")) & (hi < F.col("__end")), F.col("__v"))
+            ).alias(f"__hk{i}")
+        )
+    keys = j.groupBy(*group_cols).agg(*sel)
+    out = totals.join(keys, group_cols, "left")
+    cols = [*group_cols, F.col("__n")]
+    for i, p in enumerate(probs):
+        pos = pos_of(p)
+        lo, hi = F.floor(pos), F.ceil(pos)
+        lk, hk = F.col(f"__lk{i}"), F.col(f"__hk{i}")
+        interp = (hi.cast("double") - pos) * lk + (pos - lo.cast("double")) * hk
+        cols.append(
+            F.when(lk.isNull(), F.lit(None).cast("double"))
+            .when((hi == lo) | (lk == hk), lk)
+            .otherwise(interp)
+            .alias(f"__p{i}")
+        )
+    return out.select(*cols)
+
+
 def quantile_profile(
     df: DataFrame,
     value_col: str,
@@ -128,21 +207,32 @@ def quantile_profile(
     backing median/IQR-style checks (B3 family, same contract as
     ``perform_qc``'s per-granule summaries, implement.py:111-118).
 
-    approx=False uses ``percentile`` (exact linear interpolation — ANSI
-    percentile_cont semantics, bit-comparable to DuckDB's quantile_cont;
-    Spark sorts each group's values, so reserve it for oracle checks and
-    bounded-cardinality groups). approx=True switches to
-    ``percentile_approx`` — a mergeable one-pass sketch with O(accuracy)
-    memory per group and map-side partial aggregation: the only shape that
-    profiles a 10^12-row column without sorting it. One hash-agg either
-    way; all requested quantiles share the single sketch/sort per group."""
+    approx=False computes exact linear-interpolation percentiles (ANSI
+    percentile_cont semantics, bit-identical to ``F.percentile`` and
+    bit-comparable to DuckDB's quantile_cont) via the distributed
+    ``_exact_group_percentiles`` shape — a codegen'd (group, value) count
+    agg + per-group cumulative window over DISTINCT values, replacing the
+    boxed single-task Percentile map merge (r6: 38.8s -> measured rewrite
+    below at sf1.0). approx=True switches to ``percentile_approx`` — a
+    mergeable one-pass sketch with O(accuracy) memory per group and
+    map-side partial aggregation: the shape that profiles a 10^12-row
+    column without materializing its value histogram anywhere."""
     if approx:
         qf = lambda p: F.percentile_approx(value_col, p, accuracy)  # noqa: E731
-    else:
-        qf = lambda p: F.percentile(value_col, p)  # noqa: E731
-    return df.groupBy(F.col(group_col).alias("grp")).agg(
-        F.count(value_col).alias("n_values"),
-        *[F.round(qf(p), 6).alias(f"q{int(round(p * 100)):02d}") for p in probs],
+        return df.groupBy(F.col(group_col).alias("grp")).agg(
+            F.count(value_col).alias("n_values"),
+            *[F.round(qf(p), 6).alias(f"q{int(round(p * 100)):02d}") for p in probs],
+        )
+    res = _exact_group_percentiles(
+        df.select(F.col(group_col).alias("grp"), value_col), ["grp"], value_col, list(probs)
+    )
+    return res.select(
+        "grp",
+        F.col("__n").alias("n_values"),
+        *[
+            F.round(F.col(f"__p{i}"), 6).alias(f"q{int(round(p * 100)):02d}")
+            for i, p in enumerate(probs)
+        ],
     )
 
 
@@ -569,17 +659,25 @@ def outlier_fences(
     vals = df.select(
         *[F.col(c).cast("double").alias(c) for c in cols]  # prunes the scan too
     ).unpivot([], cols, "col_name", "v")
-    qf = (
-        (lambda p: F.percentile_approx("v", p, accuracy))
-        if approx
-        else (lambda p: F.percentile("v", p))
-    )
-    q1, q3 = qf(0.25), qf(0.75)
-    fences = vals.groupBy("col_name").agg(
-        F.count("v").alias("n_values"),
-        F.round(q1 - k * (q3 - q1), 6).alias("fence_lo"),
-        F.round(q3 + k * (q3 - q1), 6).alias("fence_hi"),
-    )
+    if approx:
+        qf = lambda p: F.percentile_approx("v", p, accuracy)  # noqa: E731
+        q1, q3 = qf(0.25), qf(0.75)
+        fences = vals.groupBy("col_name").agg(
+            F.count("v").alias("n_values"),
+            F.round(q1 - k * (q3 - q1), 6).alias("fence_lo"),
+            F.round(q3 + k * (q3 - q1), 6).alias("fence_hi"),
+        )
+    else:
+        # exact path: distributed percentile (see _exact_group_percentiles)
+        # — same fence arithmetic on bit-identical q1/q3 doubles
+        pct = _exact_group_percentiles(vals, ["col_name"], "v", [0.25, 0.75])
+        q1, q3 = F.col("__p0"), F.col("__p1")
+        fences = pct.select(
+            "col_name",
+            F.col("__n").alias("n_values"),
+            F.round(q1 - k * (q3 - q1), 6).alias("fence_lo"),
+            F.round(q3 + k * (q3 - q1), 6).alias("fence_hi"),
+        )
     return (
         vals.join(F.broadcast(fences), "col_name")
         .groupBy("col_name", "n_values", "fence_lo", "fence_hi")
