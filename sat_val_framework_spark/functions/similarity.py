@@ -255,13 +255,73 @@ def embedding_near_dup_pairs(
     banded = sign_banded(emb, n_bits, bands, id_col, vec_col).withColumn(
         "nrm", l2_norm(F.col("vec"))
     )
-    if max_bucket_size is None:
-        # uncapped fast path: score every band hit in the join's output
-        # projection and collapse duplicates in the (ids, cos) groupBy —
-        # NEVER a distinct over rows still carrying both vectors (that
-        # shuffled 2 x dim doubles per candidate; the hash-agg here ships
-        # ~24 bytes). Same result: a pair hit by both bands scores the
-        # same cos twice and max() collapses it.
+    id_type = emb.schema[id_col].dataType.simpleString()
+    if max_bucket_size is None and id_type in ("bigint", "int"):
+        # uncapped fast path (r6, guide §8 "move the heavy bytes once" +
+        # §4.2 "hand whole batches to vectorized native code"): instead of
+        # a self-join whose output carries BOTH vectors into a per-pair
+        # interpreted HOF fold (3.2M candidate pairs x 64 dims at sf1.0,
+        # measured ~8s of pure fold time), group the banded frame by bucket
+        # with applyInPandas — each vector crosses the Arrow boundary ONCE
+        # per band, and the bucket's all-pairs dots run as one numpy
+        # broadcast-multiply + np.add.accumulate. That accumulate is a
+        # strictly sequential left fold, BIT-IDENTICAL to the JVM
+        # ``aggregate(zip_with(...), 0.0, acc+v)`` (property-tested in
+        # tests/test_similarity.py); float32->float64 widening and the
+        # nrm_a*nrm_b division are exact IEEE ops on both sides. The kernel
+        # pre-filters at (threshold - 1e-6) — a superset of every pair the
+        # final 6dp-rounded filter can keep, since rounding moves a value
+        # by at most 5e-7 — and the authoritative F.round + threshold
+        # filter stays in Spark, so no numpy rounding semantics ever touch
+        # the result. doc_a < doc_b comes from sorting each bucket by id.
+        import numpy as np
+        import pandas as pd
+
+        margin = threshold - 1e-6
+        np_id = np.int64 if id_type == "bigint" else np.int32
+
+        def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            n = len(pdf)
+            empty = pd.DataFrame(
+                {
+                    "doc_a": np.array([], dtype=np_id),
+                    "doc_b": np.array([], dtype=np_id),
+                    "cos": np.array([], dtype=np.float64),
+                }
+            )
+            if n < 2:
+                return empty
+            pdf = pdf.sort_values("doc_id")
+            ids = pdf["doc_id"].to_numpy()
+            M = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+            ia, ib = np.triu_indices(n, k=1)
+            prod = M[ia] * M[ib]
+            dots = np.add.accumulate(prod, axis=1)[:, -1]
+            cos = dots / (nrm[ia] * nrm[ib])
+            keep = cos >= margin
+            if not keep.any():
+                return empty
+            return pd.DataFrame(
+                {
+                    "doc_a": ids[ia[keep]].astype(np_id),
+                    "doc_b": ids[ib[keep]].astype(np_id),
+                    "cos": cos[keep],
+                }
+            )
+
+        scored = (
+            banded.where(F.col("vec").isNotNull())
+            .groupBy("band_id", "band_key")
+            .applyInPandas(bucket_pairs, f"doc_a {id_type}, doc_b {id_type}, cos double")
+        )
+    elif max_bucket_size is None:
+        # generic-id uncapped path: score every band hit in the join's
+        # output projection and collapse duplicates in the (ids, cos)
+        # groupBy — NEVER a distinct over rows still carrying both vectors
+        # (that shuffled 2 x dim doubles per candidate; the hash-agg here
+        # ships ~24 bytes). Same result: a pair hit by both bands scores
+        # the same cos twice and max() collapses it.
         a, b = banded.alias("a"), banded.alias("b")
         scored = a.join(
             b,

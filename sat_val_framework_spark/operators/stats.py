@@ -155,9 +155,34 @@ def _exact_group_percentiles(
         .groupBy(*gc, v.alias("__v"))
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    w = Window.partitionBy(*group_cols).orderBy("__v")
-    cum = counts.withColumn("__end", F.sum("__c").over(w)).withColumn(
-        "__start", F.col("__end") - F.col("__c")
+    # cumulative counts via a TWO-LEVEL prefix sum instead of one window
+    # per group: a near-unique measure (l_extendedprice: 4.5M distinct at
+    # sf1.0) would funnel its whole value histogram into ONE window task
+    # (measured +9s); range-partition on (group, value), local cumsum per
+    # partition in parallel, then add per-partition exclusive offsets from
+    # a metadata-sized (group, pid) aggregate — same [start, end) ranges,
+    # single-task work bounded by distinct-values/partition (guide §2.5).
+    # Partition count follows the session's shuffle parallelism, not a
+    # constant tuned to this box.
+    n_parts = max(
+        int(vals.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")), 8
+    ) * 2
+    parts = counts.repartitionByRange(n_parts, *group_cols, "__v").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    wl = Window.partitionBy(*group_cols, "__pid").orderBy("__v")
+    offw = Window.partitionBy(*group_cols).orderBy("__pid")
+    offs = (
+        parts.groupBy(*group_cols, "__pid")
+        .agg(F.sum("__c").alias("__pc"))
+        .withColumn("__off", F.sum("__pc").over(offw) - F.col("__pc"))
+        .select(*group_cols, "__pid", "__off")
+    )
+    cum = (
+        parts.withColumn("__lcum", F.sum("__c").over(wl))
+        .join(F.broadcast(offs), [*group_cols, "__pid"])
+        .withColumn("__end", F.col("__lcum") + F.col("__off"))
+        .withColumn("__start", F.col("__end") - F.col("__c"))
     )
     j = cum.join(F.broadcast(totals), group_cols)
 

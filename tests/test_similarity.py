@@ -189,3 +189,43 @@ def test_train_ivf_centroids_short_corpus(spark):
     assert len(cents) == 10
     out = ivf_topk(emb, emb.filter("vec_id < 2"), k=3, n_probe=2, centroids=cents)
     assert out.count() > 0
+
+
+def test_embedding_near_dup_kernel_equals_jvm_path(spark, emb):
+    """r6 optimization guard: the per-bucket Arrow kernel (long ids) and
+    the generic JVM join path (forced via string ids) must produce
+    IDENTICAL (pair, cos_sim) sets — np.add.accumulate is a sequential
+    left fold, bit-compatible with aggregate(zip_with(...), 0.0, acc+v)."""
+    df, _vecs = emb
+    kernel = {
+        (str(r["vec_a"]), str(r["vec_b"])): r["cos_sim"]
+        for r in similarity.embedding_near_dup_pairs(
+            df, threshold=0.3, n_bits=4, bands=2
+        ).collect()
+    }
+    as_str = df.withColumn("vec_id", F.col("vec_id").cast("string"))
+    jvm = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in similarity.embedding_near_dup_pairs(
+            as_str, threshold=0.3, n_bits=4, bands=2
+        ).collect()
+    }
+    # string ordering differs from numeric ordering, so canonicalize pairs
+    jvm = {tuple(sorted(k, key=int)): v for k, v in jvm.items()}
+    kernel = {tuple(sorted(k, key=int)): v for k, v in kernel.items()}
+    assert kernel == jvm  # exact equality including every 6dp-rounded cos
+
+
+def test_np_accumulate_matches_jvm_left_fold():
+    """The kernel's exactness precondition, tested directly: numpy's
+    add.accumulate over widened float32 products equals an explicit
+    sequential left fold (Spark's aggregate order) bit-for-bit."""
+    rng = np.random.RandomState(11)
+    a = rng.randn(500, 64).astype(np.float32).astype(np.float64)
+    b = rng.randn(500, 64).astype(np.float32).astype(np.float64)
+    acc = np.add.accumulate(a * b, axis=1)[:, -1]
+    for i in range(500):
+        s = 0.0
+        for k in range(64):
+            s = s + a[i, k] * b[i, k]
+        assert s == acc[i]
