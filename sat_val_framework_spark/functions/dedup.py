@@ -176,6 +176,75 @@ _MINHASH_A = [(2_654_435_761 * (2 * i + 1)) % 2_147_483_647 for i in range(64)]
 _MINHASH_B = [(40_503 * (i + 1)) % 65_536 for i in range(64)]
 
 
+def _minhash_rows_arrow(
+    docs: DataFrame, k: int, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc_id, m0..m{k-1}): per-ROW partial MinHash mins via one
+    mapInPandas kernel — tokenize, shingle, md5 and the k affine
+    permutations all happen on a whole Arrow batch inside the Python
+    worker, replacing the explode -> md5 -> conv projection whose
+    per-shingle expression work measured ~28 core-seconds at sf1.0
+    (guide §4.2: let Spark distribute, do the bulk work in native code).
+
+    Exactness contract (tested against the JVM-expression path in
+    tests/test_dedup.py, including duplicate ids + unicode whitespace):
+    - tokens: Java ``\\s`` is ASCII-only => ``re.split(r'\\s+', s,
+      flags=re.ASCII)`` + drop empties == split+filter in tokens_col
+      (F.trim only strips spaces, which the empty-token filter already
+      handles, so trim needs no Python twin);
+    - shingles: ``" ".join(toks[j:j+n])`` for j in range(max(len-n+1, 1))
+      == concat_ws over slice() including the short-doc floor ([''] for
+      token-less docs);
+    - h32: the first 15 md5 hex digits are the digest's top 60 bits =>
+      ``int.from_bytes(digest[:8], 'big') >> 4`` then ``& 0xFFFFFFFF``
+      == conv(substring(hex,1,15),16,10) % 2^32, in exact integer math;
+    - (A*h + B) % 2^32 in uint64 cannot overflow (A < 2^31, h < 2^32).
+    """
+    import re
+
+    a_const = _MINHASH_A[:k]
+    b_const = _MINHASH_B[:k]
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"doc_id {id_type}, " + ", ".join(f"m{i} long" for i in range(k))
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        ws = re.compile(r"\s+", re.ASCII)
+        an = np.array(a_const, dtype=np.uint64)
+        bn = np.array(b_const, dtype=np.uint64)
+        m32 = np.uint64(_M32)
+        for pdf in batches:
+            ids = pdf[id_col]
+            out = np.empty((len(pdf), k), dtype=np.int64)
+            for row, text in enumerate(pdf[text_col]):
+                toks = [w for w in ws.split(text)] if text is not None else []
+                toks = [w for w in toks if w]
+                cnt = max(len(toks) - (n - 1), 1)
+                grams = {" ".join(toks[j : j + n]) for j in range(cnt)}
+                hs = np.fromiter(
+                    (
+                        (int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big") >> 4)
+                        & 0xFFFFFFFF
+                        for g in grams
+                    ),
+                    dtype=np.uint64,
+                    count=len(grams),
+                )
+                out[row] = ((an[:, None] * hs[None, :] + bn[:, None]) % m32).min(
+                    axis=1
+                ).astype(np.int64)
+            res = pd.DataFrame({"doc_id": ids.reset_index(drop=True)})
+            for i in range(k):
+                res[f"m{i}"] = out[:, i]
+            yield res
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, out_schema)
+
+
 def minhash_signature(
     docs: DataFrame,
     k: int = 12,
@@ -187,31 +256,33 @@ def minhash_signature(
     """k-permutation MinHash: sig[i] = min over shingles of an affine
     permutation of the shingle's 32-bit content hash.
 
-    Plan shape (the one that survives scale): explode shingles to rows,
-    hash each shingle ONCE in a projection (Catalyst does not CSE repeated
-    md5 subtrees through lambda expressions — the array-fold formulation
-    measured 12-40x slower), then ONE hash-aggregate with k cheap integer
-    ``min`` aggregates. Partial aggregation means only k ints per doc cross
-    the shuffle.
+    Plan shape: per-row partial mins from one Arrow kernel
+    (``_minhash_rows_arrow`` — r6; previously an explode -> hash-once
+    projection, whose per-shingle expression interpretation dominated the
+    LSH queries), then ONE hash-aggregate with k cheap integer ``min``
+    aggregates merging rows that share an id (min-of-mins == min over the
+    merged shingle multiset, so duplicate-id semantics are unchanged).
+    Partial aggregation means only k ints per doc cross the shuffle.
 
     hash_fn='md5' (default) is bit-reproducible in ANSI SQL (the DuckDB
-    oracle); hash_fn='xxhash64' is the production path — a JVM intrinsic,
-    no hex round-trip (measured ~1.4x faster end-to-end on the LSH query).
+    oracle); hash_fn='xxhash64' keeps the JVM-expression path — a JVM
+    intrinsic on longs with no hex round-trip.
     """
     if hash_fn == "md5":
-        h32 = (F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long") % _M32)
+        rows = _minhash_rows_arrow(docs, k, n, text_col, id_col)
+        mins = [F.min(F.col(f"m{i}")).alias(f"m{i}") for i in range(k)]
     elif hash_fn == "xxhash64":
         h32 = F.pmod(F.xxhash64("shingle"), F.lit(_M32))
+        rows = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
+        ).select("doc_id", h32.alias("h32"))
+        mins = [
+            F.min((F.lit(_MINHASH_A[i]) * F.col("h32") + F.lit(_MINHASH_B[i])) % _M32).alias(f"m{i}")
+            for i in range(k)
+        ]
     else:
         raise ValueError(f"unknown hash_fn '{hash_fn}'")
-    rows = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles_col(F.col(text_col), n)).alias("shingle"),
-    ).select("doc_id", h32.alias("h32"))
-    mins = [
-        F.min((F.lit(_MINHASH_A[i]) * F.col("h32") + F.lit(_MINHASH_B[i])) % _M32).alias(f"m{i}")
-        for i in range(k)
-    ]
     agg = rows.groupBy("doc_id").agg(*mins)
     return agg.select("doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("minhash"))
 

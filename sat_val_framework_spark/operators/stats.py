@@ -117,7 +117,12 @@ def cardinality_profile(
 
 
 def _exact_group_percentiles(
-    vals: DataFrame, group_cols: list[str], value_col: str, probs: list[float]
+    vals: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    probs: list[float],
+    counts: DataFrame | None = None,
+    totals: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed exact percentiles, bit-identical to
     ``F.percentile(value_col, p)`` per group.
@@ -149,12 +154,17 @@ def _exact_group_percentiles(
 
     gc = [F.col(c) for c in group_cols]
     v = F.col(value_col).cast("double")
-    totals = vals.groupBy(*gc).agg(F.count(value_col).alias("__n"))
-    counts = (
-        vals.where(v.isNotNull())
-        .groupBy(*gc, v.alias("__v"))
-        .agg(F.count(F.lit(1)).alias("__c"))
-    )
+    # callers that already own a (group, value)->count frame (outlier_fences
+    # derives its outside-fence counts from the same histogram) pass it in so
+    # the counts exchange is built once and reused
+    if totals is None:
+        totals = vals.groupBy(*gc).agg(F.count(value_col).alias("__n"))
+    if counts is None:
+        counts = (
+            vals.where(v.isNotNull())
+            .groupBy(*gc, v.alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
     # cumulative counts via a TWO-LEVEL prefix sum instead of one window
     # per group: a near-unique measure (l_extendedprice: 4.5M distinct at
     # sf1.0) would funnel its whole value histogram into ONE window task
@@ -165,7 +175,7 @@ def _exact_group_percentiles(
     # Partition count follows the session's shuffle parallelism, not a
     # constant tuned to this box.
     n_parts = max(
-        int(vals.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")), 8
+        int(counts.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")), 8
     ) * 2
     parts = counts.repartitionByRange(n_parts, *group_cols, "__v").withColumn(
         "__pid", F.spark_partition_id()
@@ -670,15 +680,18 @@ def outlier_fences(
     heavy tail (B3 stats family; same per-column contract as
     ``perform_qc``'s granule summaries, implement.py:111-118).
 
-    Plan shape: the columns unpivot to (col_name, v) rows — len(cols)×
+    Plan shape (r6): the columns unpivot to (col_name, v) rows — len(cols)×
     row multiply, but each output row carries ONE double, so bytes scanned
-    ≈ bytes read once — then (1) one hash-agg computes the quantiles per
-    column (exact ``percentile`` for oracle parity; approx=True switches to
-    the mergeable ``percentile_approx`` sketch, the 10^12-row path), and
-    (2) a broadcast join of the len(cols)-row fence frame feeds one
-    counting hash-agg. Two scans of the unpivoted frame, zero windows,
-    zero driver-side data. NULLs: excluded from quantiles and counts
-    (coalesced predicates — the fused pv_oob NULL-under-sum bug class)."""
+    ≈ bytes read once. Exact mode scans that frame ONCE into a
+    (col, value)->count histogram; percentiles (distributed interpolation,
+    see ``_exact_group_percentiles``), totals and the outside-fence counts
+    all re-aggregate the shared histogram exchange, so outside counts
+    weight distinct values by count instead of re-scanning raw rows.
+    approx=True keeps the original two-pass shape with the mergeable
+    ``percentile_approx`` sketch — the path that never materializes a
+    value histogram at all. Zero driver-side data either way. NULLs:
+    excluded from quantiles and counts (coalesced predicates — the fused
+    pv_oob NULL-under-sum bug class)."""
     if not cols:
         raise ValueError("cols must be non-empty")
     vals = df.select(
@@ -692,34 +705,79 @@ def outlier_fences(
             F.round(q1 - k * (q3 - q1), 6).alias("fence_lo"),
             F.round(q3 + k * (q3 - q1), 6).alias("fence_hi"),
         )
-    else:
-        # exact path: distributed percentile (see _exact_group_percentiles)
-        # — same fence arithmetic on bit-identical q1/q3 doubles
-        pct = _exact_group_percentiles(vals, ["col_name"], "v", [0.25, 0.75])
-        q1, q3 = F.col("__p0"), F.col("__p1")
-        fences = pct.select(
-            "col_name",
-            F.col("__n").alias("n_values"),
-            F.round(q1 - k * (q3 - q1), 6).alias("fence_lo"),
-            F.round(q3 + k * (q3 - q1), 6).alias("fence_hi"),
+        return (
+            vals.join(F.broadcast(fences), "col_name")
+            .groupBy("col_name", "n_values", "fence_lo", "fence_hi")
+            .agg(
+                F.sum(F.when(F.col("v") < F.col("fence_lo"), 1).otherwise(0)).alias("n_low"),
+                F.sum(F.when(F.col("v") > F.col("fence_hi"), 1).otherwise(0)).alias("n_high"),
+            )
+            .select(
+                "col_name",
+                "n_values",
+                "fence_lo",
+                "fence_hi",
+                "n_low",
+                "n_high",
+                F.round((F.col("n_low") + F.col("n_high")) / F.col("n_values"), 6).alias(
+                    "outlier_rate"
+                ),
+            )
         )
-    return (
-        vals.join(F.broadcast(fences), "col_name")
-        .groupBy("col_name", "n_values", "fence_lo", "fence_hi")
+    # exact path (r6): ONE pass builds the (col, value)->count histogram;
+    # percentiles, totals AND the outside-fence counts all derive from it
+    # (the counts exchange is planned once and reused), so the unpivoted
+    # frame is scanned once instead of twice and the outside counts
+    # aggregate 4.6M distinct values instead of 24M raw rows at sf1.0.
+    # Sums weight each distinct value by its count — identical to the
+    # row-level 0/1 sums; fence arithmetic on bit-identical q1/q3 doubles.
+    spark = df.sparkSession
+    vcounts = (
+        vals.where(F.col("v").isNotNull())
+        .groupBy("col_name", F.col("v").alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    col_frame = spark.createDataFrame([(c,) for c in cols], "col_name string")
+    totals = col_frame.join(
+        vcounts.groupBy("col_name").agg(F.sum("__c").alias("__s")), "col_name", "left"
+    ).select(
+        "col_name", F.coalesce(F.col("__s"), F.lit(0)).cast("long").alias("__n")
+    )
+    pct = _exact_group_percentiles(
+        None, ["col_name"], "v", [0.25, 0.75], counts=vcounts, totals=totals
+    )
+    q1, q3 = F.col("__p0"), F.col("__p1")
+    fences = pct.select(
+        "col_name",
+        F.col("__n").alias("n_values"),
+        F.round(q1 - k * (q3 - q1), 6).alias("fence_lo"),
+        F.round(q3 + k * (q3 - q1), 6).alias("fence_hi"),
+    )
+    outside = (
+        vcounts.join(F.broadcast(fences.select("col_name", "fence_lo", "fence_hi")), "col_name")
+        .groupBy("col_name")
         .agg(
-            F.sum(F.when(F.col("v") < F.col("fence_lo"), 1).otherwise(0)).alias("n_low"),
-            F.sum(F.when(F.col("v") > F.col("fence_hi"), 1).otherwise(0)).alias("n_high"),
+            F.sum(
+                F.when(F.col("__v") < F.col("fence_lo"), F.col("__c")).otherwise(F.lit(0))
+            ).alias("n_low"),
+            F.sum(
+                F.when(F.col("__v") > F.col("fence_hi"), F.col("__c")).otherwise(F.lit(0))
+            ).alias("n_high"),
         )
+    )
+    return (
+        fences.join(outside, "col_name", "left")
         .select(
             "col_name",
             "n_values",
             "fence_lo",
             "fence_hi",
-            "n_low",
-            "n_high",
-            F.round((F.col("n_low") + F.col("n_high")) / F.col("n_values"), 6).alias(
-                "outlier_rate"
-            ),
+            F.coalesce("n_low", F.lit(0)).cast("long").alias("n_low"),
+            F.coalesce("n_high", F.lit(0)).cast("long").alias("n_high"),
+        )
+        .withColumn(
+            "outlier_rate",
+            F.round((F.col("n_low") + F.col("n_high")) / F.col("n_values"), 6),
         )
     )
 

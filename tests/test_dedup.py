@@ -481,3 +481,47 @@ def test_dedup_clusters_logarithmic_rounds_on_long_chain(spark):
     got = {(r["doc_id"], r["cluster_id"]) for r in dedup_clusters(shallow, stats=s2).collect()}
     assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
     assert s2["rounds"] <= 3
+
+
+def test_minhash_arrow_kernel_matches_jvm_expressions(spark):
+    """r6 optimization guard: the Arrow minhash kernel must equal the
+    original JVM expression formulation (explode -> md5 -> conv -> k min
+    aggs) on adversarial input: duplicate doc_ids (signatures must merge),
+    unicode whitespace (Java \\s is ASCII-only — NBSP is NOT a separator),
+    tabs/newlines, empty and NULL text, and docs shorter than the shingle
+    width."""
+    from pyspark.sql import functions as F
+
+    from sat_val_framework_spark.functions.dedup import (
+        _M32,
+        _MINHASH_A,
+        _MINHASH_B,
+        minhash_signature,
+        shingles_col,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (1, "epsilon zeta eta"),  # duplicate id: shingles must merge
+        (2, "alpha\tbeta\ngamma"),
+        (3, "nb sp stays one token"),
+        (4, ""),
+        (5, None),
+        (6, "short"),
+        (7, "  leading and trailing  "),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: list(r["minhash"]) for r in minhash_signature(d, k=12).collect()}
+    h32 = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long") % _M32
+    ref_rows = d.select(
+        "doc_id", F.explode(shingles_col(F.col("text"), 3)).alias("shingle")
+    ).select("doc_id", h32.alias("h32"))
+    mins = [
+        F.min((F.lit(_MINHASH_A[i]) * F.col("h32") + F.lit(_MINHASH_B[i])) % _M32).alias(f"m{i}")
+        for i in range(12)
+    ]
+    ref = {
+        r["doc_id"]: [r[f"m{i}"] for i in range(12)]
+        for r in ref_rows.groupBy("doc_id").agg(*mins).collect()
+    }
+    assert got == ref
