@@ -1352,64 +1352,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ordering is deliberate: the driver's correctness window checks a
-    # 50-query prefix per round, so queries NOT covered by the latest
-    # record (round-4 checked the 50 that now sit at the back) plus this
-    # round's new ones come FIRST — every query stays inside a recent
-    # driver-checked window (VERDICT r3 #8, re-rotated per VERDICT r4 #7)
+    # 50-query prefix per round, so the 36 queries whose last driver check
+    # was round 4 (round 5 re-checked the other 50) come FIRST — keeping
+    # every query inside a recent driver-checked window (VERDICT r5 #7,
+    # same rotation as r4->r5)
     return {
-        # --- 20 queries last driver-checked in round 3 ---
-        "train_test_split": q_train_test_split,
-        "stratified_sample": q_stratified_sample,
-        "pack_sequences": q_pack_sequences,
-        "fingerprint": q_fingerprint,
-        "token_count": q_token_count,
-        "token_count_bpe": q_token_count_bpe,
-        "media_resize": q_media_resize,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
-        "ann_threshold": q_ann_threshold,
-        "ann_topk": q_ann_topk,
-        "ann_bucketed": q_ann_bucketed,
-        "embedding_stats": q_embedding_stats,
-        "multimodal_features": q_multimodal_features,
-        "frame_plan": q_frame_plan,
-        "drift_ks_pandas": q_drift_ks_pandas,
-        "streaming_window": q_streaming_window,
-        "tpch_q1": q_tpch_q1,
-        "topk_per_group": q_topk_per_group,
-        "asof_join": q_asof_join,
-        # --- new this round (never driver-checked) ---
-        "span_grammar": q_span_grammar,
-        "incremental_dedup": q_incremental_dedup,
-        "unique_incremental": q_unique_incremental,
-        "span_grammar_profile": q_span_grammar_profile,
-        "semantic_dedup": q_semantic_dedup,
-        "bpe_count": q_bpe_count,
-        "uniqueness_hotkey": q_uniqueness_hotkey,
-        "mix_sample": q_mix_sample,
-        "dedup_keep_best": q_dedup_keep_best,
-        "top_fraction": q_top_fraction,
-        "outlier_fences": q_outlier_fences,
-        "distinct_hll": q_distinct_hll,
-        "corpus_overlap": q_corpus_overlap,
-        "weighted_sample": q_weighted_sample,
-        "verdict_summary": q_verdict_summary,
-        "distinct_bound": q_distinct_bound,
-        # --- round-4-checked 50 ---
-        "lsh_capped": q_lsh_capped,
-        "lsh_oversized": q_lsh_oversized,
-        "ann_ivf_kmeans": q_ann_ivf_kmeans,
-        "categorical_check": q_categorical_check,
-        "ngram_decontam": q_ngram_decontam,
-        "snapshot_travel": q_snapshot_travel,
-        "range_join": q_range_join,
-        "sessionize": q_sessionize,
-        "rollup_revenue": q_rollup_revenue,
-        "pivot_events": q_pivot_events,
-        "dedup_embedding": q_dedup_embedding,
-        "training_filter": q_training_filter,
-        "ann_ivf": q_ann_ivf,
-        "cms_freq": q_cms_freq,
+        # --- last driver-checked in round 4 (rotate to the front) ---
         "time_rollup": q_time_rollup,
         "cube_revenue": q_cube_revenue,
         "running_totals": q_running_totals,
@@ -1446,6 +1394,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "dedup_clusters": q_dedup_clusters,
         "hash_sample": q_hash_sample,
+        # --- round-5-checked 50 ---
+        "train_test_split": q_train_test_split,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "fingerprint": q_fingerprint,
+        "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
+        "media_resize": q_media_resize,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "ann_threshold": q_ann_threshold,
+        "ann_topk": q_ann_topk,
+        "ann_bucketed": q_ann_bucketed,
+        "embedding_stats": q_embedding_stats,
+        "multimodal_features": q_multimodal_features,
+        "frame_plan": q_frame_plan,
+        "drift_ks_pandas": q_drift_ks_pandas,
+        "streaming_window": q_streaming_window,
+        "tpch_q1": q_tpch_q1,
+        "topk_per_group": q_topk_per_group,
+        "asof_join": q_asof_join,
+        "span_grammar": q_span_grammar,
+        "incremental_dedup": q_incremental_dedup,
+        "unique_incremental": q_unique_incremental,
+        "span_grammar_profile": q_span_grammar_profile,
+        "semantic_dedup": q_semantic_dedup,
+        "bpe_count": q_bpe_count,
+        "uniqueness_hotkey": q_uniqueness_hotkey,
+        "mix_sample": q_mix_sample,
+        "dedup_keep_best": q_dedup_keep_best,
+        "top_fraction": q_top_fraction,
+        "outlier_fences": q_outlier_fences,
+        "distinct_hll": q_distinct_hll,
+        "corpus_overlap": q_corpus_overlap,
+        "weighted_sample": q_weighted_sample,
+        "verdict_summary": q_verdict_summary,
+        "distinct_bound": q_distinct_bound,
+        "lsh_capped": q_lsh_capped,
+        "lsh_oversized": q_lsh_oversized,
+        "ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "categorical_check": q_categorical_check,
+        "ngram_decontam": q_ngram_decontam,
+        "snapshot_travel": q_snapshot_travel,
+        "range_join": q_range_join,
+        "sessionize": q_sessionize,
+        "rollup_revenue": q_rollup_revenue,
+        "pivot_events": q_pivot_events,
+        "dedup_embedding": q_dedup_embedding,
+        "training_filter": q_training_filter,
+        "ann_ivf": q_ann_ivf,
+        "cms_freq": q_cms_freq,
     }
 
 
