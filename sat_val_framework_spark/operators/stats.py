@@ -683,10 +683,11 @@ def outlier_fences(
     Plan shape (r6): the columns unpivot to (col_name, v) rows — len(cols)×
     row multiply, but each output row carries ONE double, so bytes scanned
     ≈ bytes read once. Exact mode scans that frame ONCE into a
-    (col, value)->count histogram; percentiles (distributed interpolation,
-    see ``_exact_group_percentiles``), totals and the outside-fence counts
-    all re-aggregate the shared histogram exchange, so outside counts
-    weight distinct values by count instead of re-scanning raw rows.
+    (col, value)->count histogram, materialized once (eager
+    localCheckpoint — three consumers); percentiles (distributed
+    interpolation, see ``_exact_group_percentiles``), totals and the
+    outside-fence counts all re-aggregate it, so outside counts weight
+    distinct values by count instead of re-scanning raw rows.
     approx=True keeps the original two-pass shape with the mergeable
     ``percentile_approx`` sketch — the path that never materializes a
     value histogram at all. Zero driver-side data either way. NULLs:
@@ -725,18 +726,22 @@ def outlier_fences(
             )
         )
     # exact path (r6): ONE pass builds the (col, value)->count histogram;
-    # percentiles, totals AND the outside-fence counts all derive from it
-    # (the counts exchange is planned once and reused), so the unpivoted
-    # frame is scanned once instead of twice and the outside counts
-    # aggregate 4.6M distinct values instead of 24M raw rows at sf1.0.
-    # Sums weight each distinct value by its count — identical to the
-    # row-level 0/1 sums; fence arithmetic on bit-identical q1/q3 doubles.
+    # percentiles, totals AND the outside-fence counts all derive from it,
+    # so the unpivoted frame is scanned once instead of twice and the
+    # outside counts aggregate 4.6M distinct values instead of 24M raw
+    # rows at sf1.0. The histogram is localCheckpoint'd eagerly: with
+    # THREE consumers, relying on runtime exchange reuse left the scan
+    # re-running when stage scheduling raced (the repo's two-consumers
+    # gotcha; alternating A/B at sf0.1 and 10x: medians 3.56->3.14 /
+    # 5.02->4.68 with the worst rep 7.8->5.3). Sums weight each distinct
+    # value by its count — identical to the row-level 0/1 sums; fence
+    # arithmetic on bit-identical q1/q3 doubles.
     spark = df.sparkSession
     vcounts = (
         vals.where(F.col("v").isNotNull())
         .groupBy("col_name", F.col("v").alias("__v"))
         .agg(F.count(F.lit(1)).alias("__c"))
-    )
+    ).localCheckpoint(eager=True)
     col_frame = spark.createDataFrame([(c,) for c in cols], "col_name string")
     totals = col_frame.join(
         vcounts.groupBy("col_name").agg(F.sum("__c").alias("__s")), "col_name", "left"

@@ -245,3 +245,22 @@ def test_outlier_fences_matches_numpy(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         outlier_fences(df, [])
+
+
+def test_outlier_fences_exact_reads_only_the_checkpointed_histogram(spark, tmp_path):
+    """r6: the exact path materializes the (col, value)->count histogram
+    once (eager localCheckpoint — three consumers raced on runtime
+    exchange reuse). The returned frame must derive everything from that
+    checkpoint: its plan reads NO parquet source, and a source-counting
+    re-read after construction would double-scan if this regressed."""
+    from sat_val_framework_spark.operators.stats import outlier_fences
+
+    src = str(tmp_path / "li")
+    spark.createDataFrame(
+        [(float(i % 97), float(i % 13)) for i in range(1000)], ["a", "b"]
+    ).write.parquet(src)
+    df = outlier_fences(spark.read.parquet(src), ["a", "b"], k=1.5)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Relation" not in plan or "parquet" not in plan, plan
+    # and the checkpointed scan really backs the result
+    assert {r["col_name"] for r in df.collect()} == {"a", "b"}
